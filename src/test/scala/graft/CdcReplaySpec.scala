@@ -1,0 +1,66 @@
+package graft
+
+import graft.envelope.ChangeEvent
+import graft.job.{CdcJob, CdcJobConfig}
+import graft.log.ChangeLogGenerator
+import org.apache.spark.sql.functions._
+
+/** End-to-end: deterministic seeded change log → streaming replay →
+  * LakeTable final state must equal the independent oracle reducer
+  * row-for-row with sha256(content) equality (SURVEY.md §7 minimum slice).
+  */
+class CdcReplaySpec extends SparkSpec {
+
+  test("full replay converges to the oracle final state (sha256 equality)") {
+    val cfg = ChangeLogGenerator.Config(nEvents = 20000L, nRepos = 50,
+      pathsPerRepo = 20, numSegments = 10)
+    val logDir = tmpDir("cdclog")
+    val tableDir = tmpDir("cdclake")
+    val ckptDir = tmpDir("cdcckpt")
+    ChangeLogGenerator.writeSegments(spark, logDir, cfg)
+
+    val job = CdcJob(spark, CdcJobConfig(
+      logDir = logDir, tablePath = tableDir, checkpointDir = ckptDir,
+      maxFilesPerTrigger = 2))
+    val stats = job.runToCompletion()
+    assert(stats.nonEmpty, "no micro-batches ran")
+    assert(stats.forall(!_.skippedAsApplied))
+
+    val finalState = job.lake.read()
+    val oracle = ChangeLogGenerator.oracleFinalState(spark, cfg)
+      .select("repo", "path", "commit", "lang", "content")
+
+    val got = finalState.select(col("repo"), col("path"), col("commit"),
+      col("lang"), sha2(col("content"), 256).as("sha"))
+    val want = oracle.select(col("repo"), col("path"), col("commit"),
+      col("lang"), sha2(col("content"), 256).as("sha"))
+
+    val nGot = got.count(); val nWant = want.count()
+    assert(nWant > 0, "oracle is empty")
+    assert(nGot === nWant, s"row count mismatch got=$nGot want=$nWant")
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert(diff === 0L, s"$diff differing rows vs oracle")
+  }
+
+  test("schema drift auto-ALTERs the lake schema; old rows read NULL") {
+    // many keys, few events per key: some keys' final write lands before
+    // the drift point (NULL drift cols), others after (populated).
+    val cfg = ChangeLogGenerator.Config(nEvents = 2000L, nRepos = 100,
+      pathsPerRepo = 20, numSegments = 8, driftAt1 = 0.5, driftAt2 = 0.8)
+    val logDir = tmpDir("driftlog")
+    val tableDir = tmpDir("driftlake")
+    val ckptDir = tmpDir("driftckpt")
+    ChangeLogGenerator.writeSegments(spark, logDir, cfg)
+    val job = CdcJob(spark, CdcJobConfig(
+      logDir = logDir, tablePath = tableDir, checkpointDir = ckptDir,
+      maxFilesPerTrigger = 4))
+    job.runToCompletion()
+    val sch = job.lake.schema.fieldNames.toSet
+    assert(sch.contains("build_system"), s"drift column missing: $sch")
+    assert(sch.contains("license"), s"drift column missing: $sch")
+    val st = job.lake.read()
+    // keys last touched before the drift point read NULL for drift columns
+    assert(st.filter(col("build_system").isNull).count() > 0)
+    assert(st.filter(col("build_system").isNotNull).count() > 0)
+  }
+}
