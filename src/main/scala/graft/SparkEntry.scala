@@ -1,13 +1,315 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.simops.Similarity
+import graft.sources.Sources
+import graft.textops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data operator suite), each with a DuckDB
+  * oracle in `oracleSql` where ANSI-SQL-expressible. Column names are
+  * aligned 1:1 between the Spark plan and the oracle SQL; float-unstable
+  * aggregates are cast to DECIMAL so both engines produce bit-identical
+  * results.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the CDC final-state reducer over the events changelog.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcFinalState(spark, "/root/testdata/sf0.001")
+
+  // -- CDC / draethos-fidelity operators ---------------------------------------
+
+  /** events table viewed as a change log: key=user_id, lsn=event_id,
+    * op: purchase ⇒ delete, else upsert. Final state = latest-lsn winner
+    * per key, deletes dropped — the engine's merge reducer
+    * (LakeTable.merge step 1 + delete filter) in batch form.
+    */
+  private def cdcFinalState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("last_lsn"),
+        col("event_type").as("last_op"), col("value").as("last_value"))
+  }
+
+  private def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select("user_id", "event_id", "event_type")
+    // simulate at-least-once redelivery, then commit-sequence dedup
+    ev.unionAll(ev)
+      .dropDuplicates("user_id", "event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_lsn"))
+  }
+
+  private def csvMd5Key(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    li.withColumn("row_key",
+      Sources.md5RowKey(li, Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")))
+  }
+
+  private def headerNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // messy headers in, normalized out (csv.go:122 rule)
+    val messy = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("Order Key"),
+        col("l_returnflag").as("Return Flag"),
+        col("l_linestatus").as("Line STATUS"))
+    messy.toDF(messy.columns.map(Sources.normalizeHeader).toIndexedSeq: _*)
+  }
+
+  private def jsonlParse(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("props"))
+      .withColumn("row_key", md5(col("props")))
+      .withColumn("k_val",
+        get_json_object(col("props"), "$.k").cast("bigint"))
+      .select("event_id", "row_key", "k_val")
+
+  private def partitionTemplate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("y", year(col("ts")))
+      .withColumn("m", month(col("ts")))
+      .withColumn("d", dayofmonth(col("ts")))
+      .withColumn("h", hour(col("ts")))
+      .groupBy("y", "m", "d", "h")
+      .agg(count(lit(1)).as("n"))
+
+  private def streamWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+
+  // -- relational primitives the engine uses internally (bench headliners) ------
+
+  private def aggPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n"))
+
+  private def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+  }
+
+  private def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_extendedprice"))
+  }
+
+  // -- training-data operators ---------------------------------------------------
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.alnumTokenCount(col("text")).cast("bigint").as("n_alnum_tokens"),
+        TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"))
+
+  private def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"),
+      length(col("text")).cast("bigint").as("len_chars"),
+      regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("bigint").as("n_punct"),
+      regexp_count(lower(col("text")),
+        lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b")).cast("bigint").as("n_stop"))
+  }
+
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+
+  private def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+      .select(col("id_a"), col("id_b")) // jaccard double excluded: cross-engine float
+
+  private def simhashFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5).select(col("id_a"), col("id_b"))
+
+  private def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "rank") // cos excluded: float
+  }
+
+  private def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nPlanes = 8)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC / reference-fidelity
+    "cdc_final_state" -> cdcFinalState,
+    "cdc_dedup" -> cdcDedup,
+    "csv_md5_key" -> csvMd5Key,
+    "header_normalize" -> headerNormalize,
+    "jsonl_parse" -> jsonlParse,
+    "partition_template" -> partitionTemplate,
+    "stream_window" -> streamWindow,
+    // relational primitives
+    "agg_pushdown" -> aggPushdown,
+    "broadcast_join" -> broadcastJoin,
+    "topk_per_group" -> topkPerGroup,
+    // training-data ops
+    "dedup_exact" -> dedupExact,
+    "token_count" -> tokenCount,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "fingerprint" -> fingerprint,
+    "minhash_neardups" -> minhashNearDups,
+    "simhash" -> simhashFingerprint,
+    "ngram_jaccard" -> ngramJaccard,
+    "knn_brute" -> knnBrute,
+    "knn_lsh" -> knnLsh)
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_final_state" ->
+      """SELECT user_id, event_id AS last_lsn, event_type AS last_op, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
+    "cdc_dedup" ->
+      """SELECT user_id, count(*) AS n_events, max(event_id) AS max_lsn
+        |FROM (SELECT DISTINCT user_id, event_id
+        |      FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "csv_md5_key" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |  md5(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
+        |      || l_returnflag || l_linestatus) AS row_key
+        |FROM lineitem""".stripMargin,
+    "header_normalize" ->
+      """SELECT l_orderkey AS order_key, l_returnflag AS return_flag,
+        |  l_linestatus AS line_status
+        |FROM lineitem""".stripMargin,
+    "jsonl_parse" ->
+      """SELECT event_id, md5(props) AS row_key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+    "partition_template" ->
+      """SELECT CAST(date_part('year', ts) AS INTEGER) AS y,
+        |  CAST(date_part('month', ts) AS INTEGER) AS m,
+        |  CAST(date_part('day', ts) AS INTEGER) AS d,
+        |  CAST(date_part('hour', ts) AS INTEGER) AS h,
+        |  count(*) AS n
+        |FROM events GROUP BY 1,2,3,4""".stripMargin,
+    "stream_window" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2""".stripMargin,
+    "broadcast_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "topk_per_group" ->
+      """SELECT l_suppkey, CAST(rank AS INTEGER) AS rank, l_orderkey, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        |      FROM lineitem) t
+        |WHERE rank <= 3""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens,
+        |  CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stop
+        |FROM documents""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en'
+        |       WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr'
+        |       WHEN s_es = best THEN 'es'
+        |       WHEN s_zh = best THEN 'zh'
+        |       ELSE 'und' END AS lang_id
+        |FROM (SELECT doc_id,
+        |        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|for|with|this|have)\b')) AS s_en,
+        |        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\b')) AS s_de,
+        |        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que|avec)\b')) AS s_fr,
+        |        len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|que|con|por|del)\b')) AS s_es,
+        |        len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS s_zh,
+        |        greatest(
+        |          len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|for|with|this|have)\b')),
+        |          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\b')),
+        |          len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que|avec)\b')),
+        |          len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|que|con|por|del)\b')),
+        |          len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]'))) AS best
+        |      FROM documents) t""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.embedding, q.qv) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin)
+    // rows-only (no SQL oracle): lang_id, fingerprint, minhash_neardups,
+    // simhash, ngram_jaccard, knn_lsh — semantics covered by ScalaTest specs.
 }

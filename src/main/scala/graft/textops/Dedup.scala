@@ -1,0 +1,196 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB path:
+  *
+  *  - exact: hash-groupBy on sha256(text) — one shuffle, min-id keeper;
+  *  - MinHash+LSH: shingle → k minhashes (expression-only) → band/bucket →
+  *    self-join within buckets only (candidate pairs ≪ n²) → exact
+  *    Jaccard verify on candidates;
+  *  - SimHash: 64-bit sign-sum fingerprint, near-dup = small Hamming
+  *    distance within LSH-by-prefix buckets;
+  *  - n-gram Jaccard: inverted-index pair generation (explode + join on
+  *    shared ngrams), count-based Jaccard — no cross join anywhere;
+  *  - embedding cosine near-dup: see `graft.simops.Similarity`.
+  *
+  * All hash functions are Spark's deterministic `xxhash64`/`hash` with
+  * per-permutation affine transforms — seeded, reproducible, no RNG state.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per sha256(text) group.
+    * One hash-shuffle; at 100 TB, partial aggregation (map-side combine on
+    * the hash) bounds shuffle volume by the number of distinct documents.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol), sha2(col(textCol), 256).as("sha"))
+      .groupBy(col("sha"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Rows of `df` that survive exact dedup (keeper rows only). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -- shingling ---------------------------------------------------------------
+
+  /** Word n-gram shingles as an array column (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 64-bit hashes of the shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  // -- MinHash + LSH -----------------------------------------------------------
+
+  /** Mersenne prime modulus for the affine permutation family. 2^31−1:
+    * with 31-bit hash pieces and 31-bit coefficients the product stays
+    * < 2^62, so the arithmetic is exact under Spark 4's default ANSI mode
+    * (no i64 overflow).
+    */
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Deterministic 31-bit affine coefficients for permutation j. */
+  private def coefA(j: Int): Long =
+    ((0x9e3779b97f4a7c15L * (2L * j + 1)) >>> 33) | 1L
+  private def coefB(j: Int): Long =
+    (0xc2b2ae3d27d4eb4fL * (j + 1)) >>> 33
+
+  /** k-permutation MinHash signature, expression-only: for each j,
+    * min over shingles of ((a_j * h31 + b_j) mod P). No UDF, no explode —
+    * the per-row cost is O(shingles × k) inside codegen.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val hs = transform(shingleHashes(text, n), h => pmod(h, lit(P)))
+    array((0 until k).map { j =>
+      aggregate(hs, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * coefA(j) + coefB(j), lit(P))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs via banding: signature split into `bands` bands
+    * of `rowsPerBand`, band value hashed to a bucket key; documents
+    * sharing any band bucket become a candidate pair. The self-join runs
+    * per bucket (shuffle on bucket key), never across the whole corpus.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .toDF("id", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify
+    * (computed on the two shingle sets via a join back to the corpus) →
+    * pairs above `threshold`.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("__id"),
+      wordShingles(col(textCol), n).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -- SimHash -----------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens, expression-only: per bit b, sum of
+    * ±1 over token hashes' bit b; fingerprint bit = sign. Uses one
+    * `aggregate` accumulating a 64-long vector with `zip_with` — stays in
+    * codegen, no UDF, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    (0 until 64).map(b =>
+        when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b)).as("simhash")
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters (a pair
+    * within Hamming distance ≤ 3 of 64 bits must agree on at least one
+    * quarter — pigeonhole), join within buckets, verify Hamming ≤ maxDist.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val f = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val quarters = f.select(col("id"), col("sh"), posexplode(array(
+      (0 until 4).map(q =>
+        shiftright(col("sh"), q * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("id", "sh", "q", "qv")
+    val l = quarters.toDF("id_a", "sh_a", "q", "qv")
+    val r = quarters.toDF("id_b", "sh_b", "q", "qv")
+    l.join(r, Seq("q", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hamming(col("sh_a"), col("sh_b")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+      .withColumn("method", lit("simhash"))
+  }
+
+  // -- n-gram Jaccard via inverted index ----------------------------------------
+
+  /** Jaccard similarity for all pairs sharing ≥1 word n-gram, computed by
+    * inverted index: explode ngrams → group by ngram (posting lists) →
+    * pair counts per ngram → sum → |A∩B| / (|A|+|B|−|A∩B|).
+    * Rare-ngram posting lists keep the pair blowup bounded; a df-cap
+    * (`maxDocFreq`) drops stop-ngrams that would quadratically explode.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val filtered = posts.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= maxDocFreq)
+    val l = filtered.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = filtered.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

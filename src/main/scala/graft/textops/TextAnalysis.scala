@@ -1,0 +1,108 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All are pure `org.apache.spark.sql.functions` column
+  * expressions — whole-stage-codegen'd, no UDFs, no shuffles; they scale
+  * as embarrassingly parallel scans at any data size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).as("ws_tokens")
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex shape (`\w+` runs and single non-space symbols).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), s => trim(s) =!= ""))
+
+  /** Simpler, oracle-checkable token count: alphanumeric runs. */
+  def alnumTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+"))
+
+  /** Quality-score feature columns: length, punctuation ratio, stopword
+    * ratio, mean word length, uppercase ratio. A downstream filter keeps
+    * documents inside healthy ranges (C4/Gopher-rule style).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTokens = size(split(trim(text), "\\s+"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" ->
+        (regexp_count(text, lit("[\\.,;:!\\?]")).cast("double") /
+          greatest(nChars.cast("double"), lit(1.0))),
+      "stopword_ratio" ->
+        (regexp_count(lower(text),
+          lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b")).cast("double") /
+          greatest(nTokens.cast("double"), lit(1.0))),
+      "mean_word_len" ->
+        ((nChars - (nTokens - lit(1))).cast("double") /
+          greatest(nTokens.cast("double"), lit(1.0))),
+      "upper_ratio" ->
+        (regexp_count(text, lit("[A-Z]")).cast("double") /
+          greatest(nChars.cast("double"), lit(1.0))))
+  }
+
+  /** Composite quality score in [0,1]: 1 − mean distance from healthy
+    * ranges. Deterministic, expression-only.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val punctOk = when(f("punct_ratio") <= 0.1, 1.0).otherwise(0.0)
+    val stopOk = when(f("stopword_ratio") >= 0.05 && f("stopword_ratio") <= 0.6, 1.0).otherwise(0.0)
+    val lenOk = when(f("n_tokens") >= 5 && f("n_tokens") <= 100000, 1.0).otherwise(0.0)
+    val wordOk = when(f("mean_word_len") >= 2.0 && f("mean_word_len") <= 12.0, 1.0).otherwise(0.0)
+    ((punctOk + stopOk + lenOk + wordOk) / 4.0).as("quality")
+  }
+
+  /** Language-ID by stopword/marker-ngram voting — the classic cheap
+    * heuristic (per-language marker lexicons; argmax of hit counts).
+    * Expression-only: one `regexp_count` per language, a `greatest`
+    * argmax, no shuffle.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|that|for|with|this|have)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|pour|dans|que|avec)\\b",
+    "es" -> "\\b(el|los|las|es|una|para|que|con|por|del)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, re) =>
+      (lang, regexp_count(lower(text), lit(re))) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc) }
+    pick.as("lang_id")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the character
+    * codes (base 31, mod 1e9+7 — small enough that acc*31+c never
+    * overflows i64), computed with `aggregate` over the char array —
+    * expression-only, order-sensitive (a true rolling hash, not a bag
+    * hash).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + c, p)).as("fingerprint")
+  }
+
+  /** Attach the full analysis column set to a documents DataFrame. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    qualityFeatures(t).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", rollingFingerprint(t))
+  }
+}
