@@ -62,7 +62,7 @@ object LsnDedup {
     }
   }
 
-  private[dedup] def dedupGroup(
+  private[graft] def dedupGroup(
       key: (String, String),
       events: Iterator[ChangeEvent],
       state: GroupState[KeyProgress]): Iterator[ChangeEvent] = {

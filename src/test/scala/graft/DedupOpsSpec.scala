@@ -1,0 +1,184 @@
+package graft
+
+import graft.envelope.ChangeEvent
+import graft.dedup.LsnDedup
+import graft.textops.{Dedup, TextAnalysis}
+import graft.simops.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def ev(lsn: Long, op: String, repo: String, path: String,
+      content: String = "c"): ChangeEvent =
+    ChangeEvent(lsn, op, new java.sql.Timestamp(0), repo, path,
+      "0" * 40, "scala", content, Map.empty)
+
+  test("LsnDedup.batch: duplicates and stale out-of-order events dropped") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "insert", "r", "a", "v1"),
+      ev(1, "insert", "r", "a", "v1"), // exact redelivery
+      ev(3, "delete", "r", "a", ""),
+      ev(2, "update", "r", "a", "v2"), // stale after lsn 3? emitted if sorted asc
+      ev(5, "update", "r", "b", "v5")).toDS()
+    val out = LsnDedup.batch(events).collect().sortBy(_.lsn)
+    // within one batch, sorted by lsn: 1,2,3 emitted for key a (each > last)
+    assert(out.map(_.lsn).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("delete-before-insert across batches is suppressed by state semantics") {
+    import spark.implicits._
+    // batch semantics proxy: second call sees only stale lsn
+    val b1 = Seq(ev(9, "delete", "r", "a", "")).toDS()
+    val out1 = LsnDedup.batch(b1).collect()
+    assert(out1.map(_.lsn).toSeq === Seq(9L))
+    // the streaming path (GroupState) is exercised e2e in CdcReplaySpec via
+    // the generator's forced delete-before-insert pairs; here check the
+    // group function directly with pre-seeded state
+    val state = new TestGroupState(Some(graft.dedup.KeyProgress(9L)))
+    val late = LsnDedup.dedupGroup(("r", "a"),
+      Iterator(ev(5, "insert", "r", "a", "late")), state)
+    assert(late.isEmpty, "stale insert after delete must be dropped")
+  }
+
+  test("exact dedup keeps min-id per identical text") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (3L, 1L)))
+    val surv = Dedup.exactSurvivors(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === Seq(1L, 3L))
+  }
+
+  test("minhash: identical texts always collide, jaccard=1") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a // identical
+    val c = "completely different words here that share nothing at all with others"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.9).collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === (1L, 2L))
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small distance") {
+    import spark.implicits._
+    val base = "spark streaming merge commit offset snapshot schema buffer flush upsert replay"
+    val near = base + " extra"
+    val far = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val f = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) === f(2L))
+    assert(java.lang.Long.bitCount(f(1L) ^ f(3L)) <= 12)
+    assert(java.lang.Long.bitCount(f(1L) ^ f(4L)) > 12)
+  }
+
+  test("ngram jaccard pairs: known overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),      // identical -> jaccard 1.0
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2,
+      threshold = 0.9).collect()
+    assert(out.length === 1 &&
+      (out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
+  }
+
+  test("brute-force knn: self excluded, k respected, cosine correct") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 2L)) // nearest two
+    val top = out.find(_.getInt(2) == 1).get
+    assert(top.getLong(1) === 1L)
+  }
+
+  test("lsh knn: results are a subset of brute-force candidates semantics") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nPlanes = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 5))
+    // deterministic across runs
+    val rows2 = Similarity.lshTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nPlanes = 4).collect()
+    assert(rows.map(_.toSeq).toSet === rows2.map(_.toSeq).toSet)
+  }
+
+  test("text analysis: tokens, quality, lang-id, fingerprint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog, in the house."),
+      (2L, "der hund und die katze ist nicht ein haus mit garten für alle"),
+      (3L, "le chat est dans la maison avec une souris pour le fromage"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df, "text")
+      .select("doc_id", "lang_id", "n_tokens", "fingerprint")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0)._2 === "en")
+    assert(out(1)._2 === "de")
+    assert(out(2)._2 === "fr")
+    assert(out(0)._3 === 8)
+    // rolling fingerprint matches a reference implementation
+    def roll(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(out(0)._4 === roll("the cat and the dog, in the house."))
+  }
+
+  test("multimodal: batched feature extraction is deterministic and typed") {
+    val media = Multimodal.synthetic(spark, 90)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === 90)
+    assert(rows.forall(_.sha.length == 64))
+    assert(rows.forall(_.features.length == 8))
+    val again = Multimodal.extractFeatures(Multimodal.synthetic(spark, 90))
+      .collect().map(r => r.media_id -> r.sha).toMap
+    assert(rows.forall(r => again(r.media_id) == r.sha))
+    // modality-specific decode units
+    val img = rows.find(_.modality == "image").get
+    assert(img.decoded_units === (64L + img.media_id % 64) * 64L)
+  }
+}
+
+/** Minimal GroupState stub for unit-testing the dedup group function. */
+class TestGroupState[S](initial: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var cur: Option[S] = initial
+  private var updated = false
+  override def exists: Boolean = cur.isDefined
+  override def get: S = cur.get
+  override def getOption: Option[S] = cur
+  override def update(s: S): Unit = { cur = Some(s); updated = true }
+  override def remove(): Unit = { cur = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.spec.PipelineSpec
+import org.apache.spark.sql.functions._
+
+class SpecAndConnectorsSpec extends SparkSpec {
+
+  private val yaml =
+    """stream:
+      |  name: k2p
+      |  checkpointDir: /tmp/ck
+      |  instance:
+      |    source:
+      |      type: changelog
+      |      specs:
+      |        path: /data/log
+      |        maxFilesPerTrigger: 7
+      |    target:
+      |      type: lake
+      |      specs:
+      |        path: /data/lake
+      |        keyColumns: [repo, path]
+      |        numBuckets: 64
+      |        batchSize: 100
+      |    dlq:
+      |      type: files
+      |      specs:
+      |        path: /data/dlq
+      |""".stripMargin
+
+  test("pipeline YAML parses to the spec model") {
+    val s = PipelineSpec.fromYaml(yaml)
+    assert(s.name === "k2p")
+    assert(s.instance.source.tpe === "changelog")
+    assert(s.instance.source.maxFilesPerTrigger === 7)
+    assert(s.instance.target.numBuckets === 64)
+    assert(s.instance.target.keyColumns === Seq("repo", "path"))
+    assert(s.instance.dlq.exists(_.path === "/data/dlq"))
+  }
+
+  test("unknown source/target/codec types fail fast like the reference dispatchers") {
+    val badTarget = yaml.replace("type: lake", "type: gcloudstorage")
+    val e1 = intercept[IllegalArgumentException](PipelineSpec.fromYaml(badTarget))
+    assert(e1.getMessage.contains("gcloudstorage not implemented"))
+    val badSource = yaml.replace("type: changelog", "type: rabbitmq")
+    val e2 = intercept[IllegalArgumentException](PipelineSpec.fromYaml(badSource))
+    assert(e2.getMessage.contains("rabbitmq not implemented"))
+    val e3 = intercept[IllegalArgumentException](
+      PipelineSpec.fromYamlFile("/tmp/pipeline.json"))
+    assert(e3.getMessage.contains("extension"))
+  }
+
+  test("csv source: messy headers normalized, md5 row key like csv.go") {
+    val dir = tmpDir("csvsrc")
+    val f = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "Cod Mun,Nome Mun,Faixa Pop\n1200013,Acrelandia,Ate 5000\n1200054,Assis Brasil,5001 a 10000\n")
+    val df = Sources.csv(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq === Seq("cod_mun", "nome_mun", "faixa_pop", "__key"))
+    val rows = df.orderBy("cod_mun").collect()
+    assert(rows.length === 2)
+    // md5 over values joined with no separator (csv.go:137)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("1200013AcrelandiaAte 5000".getBytes)
+      .map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("__key") === expect)
+  }
+
+  test("jsonl source: key = md5(raw line), fields parsed") {
+    val dir = tmpDir("jsonlsrc")
+    val f = new java.io.File(dir, "in.jsonl")
+    val l1 = """{"a":1,"b":"x"}"""
+    val l2 = """{"a":2,"b":"y","c":true}"""
+    java.nio.file.Files.writeString(f.toPath, l1 + "\n" + l2 + "\n")
+    val df = Sources.jsonlInferred(spark, f.getAbsolutePath)
+    val rows = df.orderBy("a").collect()
+    assert(rows.length === 2)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("__key") === md5hex(l1))
+    assert(rows(1).getAs[Boolean]("c") === true)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("c"))) // schema drift -> null
+  }
+
+  test("partitioned jsonl sink: time-token template -> hive dirs, compact json") {
+    import spark.implicits._
+    val out = tmpDir("sinkout") + "/o"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-03-05 07:09:11"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2025-03-05 08:00:00"), "b"))
+      .toDF("id", "ts", "v")
+    val parts = Sinks.partitionedJsonl(df, "ts", "%{YEAR}/%{MONTH}/%{DAY}/%{HOUR}/", out)
+    assert(parts === Seq("year", "month", "day", "hour"))
+    val d = new java.io.File(s"$out/year=2025/month=03/day=05/hour=07")
+    assert(d.isDirectory, s"missing partition dir: $d")
+    val back = spark.read.text(s"$out/year=2025/month=03/day=05/hour=07")
+      .collect().map(_.getString(0))
+    assert(back.length === 1 && back.head.startsWith("""{"id":1,"""))
+  }
+
+  test("envelope json parse routes malformed rows to DLQ") {
+    import spark.implicits._
+    val good = """{"lsn":1,"op":"insert","ts":"2025-01-01T00:00:00Z","repo":"r","path":"p","commit":"c","lang":"scala","content":"x","extra":{}}"""
+    val bad = """{"this is": "not an envelope"}"""
+    val notJson = """{{{"""
+    val raw = Seq(good, bad, notJson).toDF("value")
+    val (ok, dlq) = graft.envelope.ChangeEvent.parseJson(spark, raw)
+    assert(ok.count() === 1L)
+    assert(ok.head().repo === "r")
+    assert(dlq.count() === 2L)
+  }
+}
