@@ -62,19 +62,24 @@ object LsnDedup {
     }
   }
 
+  /** Emits at most ONE event per key per micro-batch: the key's highest
+    * new LSN. Intermediate events within a batch can never surface in the
+    * lake (last-write-wins), so emitting only the winner halves-or-better
+    * the merge-shuffle volume on hot keys without changing convergence.
+    */
   private[graft] def dedupGroup(
       key: (String, String),
       events: Iterator[ChangeEvent],
       state: GroupState[KeyProgress]): Iterator[ChangeEvent] = {
     val already = state.getOption.map(_.maxEmittedLsn).getOrElse(Long.MinValue)
-    val sorted = events.toArray.sortBy(_.lsn)
+    var winner: ChangeEvent = null
     var max = already
-    val out = sorted.iterator.filter { e =>
-      val keep = e.lsn > max
-      if (keep) max = e.lsn
-      keep
-    }.toArray
-    if (max > already) state.update(KeyProgress(max))
-    out.iterator
+    events.foreach { e =>
+      if (e.lsn > max) { max = e.lsn; winner = e }
+    }
+    if (max > already) {
+      state.update(KeyProgress(max))
+      Iterator.single(winner)
+    } else Iterator.empty
   }
 }

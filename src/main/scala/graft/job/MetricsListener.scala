@@ -1,0 +1,41 @@
+package graft.job
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Per-micro-batch throughput metrics — the analog of the reference's
+  * Prometheus endpoint (`internal/worker.go:93-108`), emitted as JSON
+  * lines per micro-batch and retained for BENCH artifacts.
+  */
+class MetricsListener(verbose: Boolean = false) extends StreamingQueryListener {
+  final case class BatchMetric(
+      batchId: Long, inputRows: Long, durationMs: Long, rowsPerSec: Double)
+
+  val metrics = new ConcurrentLinkedQueue[BatchMetric]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val dur = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue).getOrElse(0L)
+    if (p.numInputRows > 0 || dur > 0) {
+      val m = BatchMetric(p.batchId, p.numInputRows, dur,
+        if (dur > 0) p.numInputRows * 1000.0 / dur else 0.0)
+      metrics.add(m)
+      if (verbose)
+        System.err.println(
+          s"""{"metric":"micro_batch","batchId":${m.batchId},""" +
+          s""""inputRows":${m.inputRows},"durationMs":${m.durationMs},""" +
+          s""""rowsPerSec":${"%.1f".format(m.rowsPerSec)}}""")
+    }
+  }
+
+  def drain(): Seq[BatchMetric] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[BatchMetric]
+    var m = metrics.poll()
+    while (m != null) { out += m; m = metrics.poll() }
+    out.toSeq
+  }
+}

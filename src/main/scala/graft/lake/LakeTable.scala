@@ -217,15 +217,18 @@ class LakeTable(
       else df.withColumn(c, lit(null).cast(StringType))
     }.select((valueCols.map(col) :+ col("__bucket")): _*)
 
-    // 7. copy-on-write the touched buckets only. Repartition by
-    //    (bucket, key tail) so a hot bucket (skewed repo) still spreads
-    //    across tasks; partitionBy routes rows to bucket directories.
+    // 7. copy-on-write the touched buckets only. Repartition by bucket
+    //    alone: each task then holds whole buckets, so partitionBy emits
+    //    O(numBuckets) files per version instead of O(tasks × buckets)
+    //    tiny files (file explosion makes every later batch pay listing
+    //    + read overhead). Hot buckets (skewed repos) are handled by AQE
+    //    and by numBuckets sizing, not by intra-bucket scatter.
     val newData = survivors.select((valueCols.map(col) :+ col("__bucket")): _*)
       .unionByName(upserts)
     val newVersion = cur.version + 1
     val dataRel = s"data/v$newVersion"
     newData
-      .repartition(col("__bucket"), col(keyCols.last))
+      .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")
@@ -275,7 +278,7 @@ class LakeTable(
     val newVersion = cur.version + 1
     val dataRel = s"data/v$newVersion"
     read().withColumn("__bucket", bucketExpr)
-      .repartition(col("__bucket"))
+      .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")
     val vDir = Paths.get(tablePath, "data", s"v$newVersion")

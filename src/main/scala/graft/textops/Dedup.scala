@@ -79,6 +79,25 @@ object Dedup {
     }: _*)
   }
 
+  /** MinHash signatures via explode + 64 codegen'd `min` aggregates.
+    * The higher-order-function variant (`minhashSignature`) is interpreted
+    * per array element by Catalyst (ArrayAggregate has no codegen) and is
+    * ~100x slower at corpus scale; this shape keeps every operator inside
+    * whole-stage codegen and, at 100 TB, bounds the shuffle at one partial
+    * aggregate row per (doc × k) via map-side combine.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("g"))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(P)))
+    exploded.groupBy("id").agg(
+      min(pmod(col("h") * coefA(0) + coefB(0), lit(P))).as("m0"),
+      (1 until k).map(j =>
+        min(pmod(col("h") * coefA(j) + coefB(j), lit(P))).as(s"m$j")): _*)
+  }
+
   /** LSH candidate pairs via banding: signature split into `bands` bands
     * of `rowsPerBand`, band value hashed to a bucket key; documents
     * sharing any band bucket become a candidate pair. The self-join runs
@@ -87,12 +106,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val banded = sig.select(col("id"), posexplode(array(
+      (0 until bands).map { b =>
+        xxhash64((Seq(lit(b): Column) ++ (0 until rowsPerBand)
+          .map(r => col(s"m${b * rowsPerBand + r}"))): _*)
+      }: _*)))
       .toDF("id", "band", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
