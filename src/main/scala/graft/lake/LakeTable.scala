@@ -165,11 +165,16 @@ class LakeTable(
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(lsnCol).desc, col(opCol).desc)
+    // localCheckpoint (eager): runs the heavy upstream path (scan →
+    // stateful dedup → window) exactly once and truncates the lineage, so
+    // the stats job and the COW write job below plan against materialized
+    // blocks instead of re-planning (and risking re-executing) the whole
+    // streaming subtree.
     val winners = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("__bucket", bucketExpr)
-      .cache()
+      .localCheckpoint()
 
     // 2+3. one aggregation job computes everything driver-side the commit
     //    needs: touched buckets (≤ numBuckets rows), per-bucket lineage,
@@ -246,7 +251,7 @@ class LakeTable(
           b -> fs
         }.toMap
 
-    winners.unpersist()
+
 
     val next = cur.copy(
       version = newVersion,
