@@ -24,6 +24,9 @@ final case class CdcJobConfig(
     keyCols: Seq[String] = ChangeEvent.keyCols,
     numBuckets: Int = 32,
     maxFilesPerTrigger: Int = 2,
+    // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
+    // + JSON codec, the draethos kafka+json shape — malformed lines DLQ)
+    format: String = "parquet",
     // runId-agnostic identity of this pipeline for the exactly-once ledger
     checkpointId: String = "cdc")
 
@@ -58,19 +61,50 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     out.toSeq
   }
 
+  /** Marker op for malformed-envelope rows riding the stream to the DLQ.
+    * They are keyed by content hash, so redelivered bad lines dedup like
+    * any other event (lsn pinned to 0).
+    */
+  private val DlqOp = "__dlq"
+
   /** Build (but do not await) the streaming query. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     lake.createIfAbsent(baseSchema)
 
-    val raw = spark.readStream
-      .schema(ChangeEvent.schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(s"${cfg.logDir}/seg=*")
-
-    val events = raw
-      .withColumn("extra", coalesce(col("extra"), map()))
-      .as[ChangeEvent]
+    val events: org.apache.spark.sql.Dataset[ChangeEvent] = cfg.format match {
+      case "parquet" =>
+        spark.readStream
+          .schema(ChangeEvent.schema)
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .parquet(s"${cfg.logDir}/seg=*")
+          .withColumn("extra", coalesce(col("extra"), map()))
+          .as[ChangeEvent]
+      case "jsonl" =>
+        // raw text + JSON codec ≙ the draethos kafka-source + json-codec
+        // path (`internal/source/kafka.go:130`, `internal/codec/json.go`);
+        // a line that fails to parse becomes a DLQ-tagged event instead of
+        // being logged-and-dropped like the reference (`kafka.go:93-97`)
+        val raw = spark.readStream
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .text(s"${cfg.logDir}/seg=*")
+        raw
+          .withColumn("__p", from_json(col("value"), ChangeEvent.schema))
+          .select(
+            when(valid, col("__p.lsn")).otherwise(lit(0L)).as("lsn"),
+            when(valid, col("__p.op")).otherwise(lit(DlqOp)).as("op"),
+            coalesce(col("__p.ts"), lit(new java.sql.Timestamp(0))).as("ts"),
+            when(valid, col("__p.repo")).otherwise(lit("__dlq")).as("repo"),
+            when(valid, col("__p.path")).otherwise(md5(col("value"))).as("path"),
+            coalesce(col("__p.commit"), lit("")).as("commit"),
+            coalesce(col("__p.lang"), lit("")).as("lang"),
+            when(valid, coalesce(col("__p.content"), lit("")))
+              .otherwise(col("value")).as("content"),
+            coalesce(col("__p.extra"), map()).as("extra"))
+          .as[ChangeEvent]
+      case other =>
+        throw new IllegalArgumentException(s"changelog format $other not implemented")
+    }
 
     val deduped = LsnDedup(events)
 
@@ -80,12 +114,32 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeEvent], batchId: Long) =>
-        val st = lake.merge(batch.toDF(), cfg.checkpointId, batchId)
+        val good =
+          if (cfg.format == "jsonl") {
+            // materialize once so the DLQ split doesn't re-execute the
+            // stateful upstream; parquet-format batches skip these jobs
+            val df = batch.toDF().localCheckpoint()
+            cfg.dlqDir.foreach { dir =>
+              df.filter(col("op") === DlqOp)
+                .select(col("content").as("raw"), col("ts").as("dlq_ts"))
+                .write.mode("append").parquet(dir)
+            }
+            df.filter(col("op") =!= DlqOp)
+          } else batch.toDF()
+        val st = lake.merge(good, cfg.checkpointId, batchId)
         stats.add(st)
         ()
       }
       .start()
   }
+
+  /** A parsed jsonl line is a valid envelope iff the required fields came
+    * through non-null (≙ dispatcher validation the reference lacks).
+    */
+  private def valid =
+    col("__p").isNotNull && col("__p.lsn").isNotNull &&
+      col("__p.op").isNotNull && col("__p.repo").isNotNull &&
+      col("__p.path").isNotNull
 
   /** Run to end-of-log (AvailableNow) and block until done. */
   def runToCompletion(): Seq[MergeStats] = {

@@ -222,18 +222,28 @@ class LakeTable(
       else df.withColumn(c, lit(null).cast(StringType))
     }.select((valueCols.map(col) :+ col("__bucket")): _*)
 
-    // 7. copy-on-write the touched buckets only. Repartition by bucket
-    //    alone: each task then holds whole buckets, so partitionBy emits
-    //    O(numBuckets) files per version instead of O(tasks × buckets)
-    //    tiny files (file explosion makes every later batch pay listing
-    //    + read overhead). Hot buckets (skewed repos) are handled by AQE
-    //    and by numBuckets sizing, not by intra-bucket scatter.
+    // 7. copy-on-write the touched buckets only, salting hot buckets.
+    //    Cold buckets repartition by bucket alone: each task holds whole
+    //    buckets, so partitionBy emits O(numBuckets) files per version
+    //    instead of O(tasks × buckets) tiny files (file explosion makes
+    //    every later batch pay listing + read overhead). Buckets whose
+    //    batch volume exceeds 4x the mean (Zipf-hot repos) get a salt
+    //    derived from the key tail so their write spreads across tasks —
+    //    bounded extra files, only where skew demands them.
+    val meanPerBucket = math.max(1L,
+      perBucket.map(_.getLong(2)).sum / math.max(perBucket.length, 1))
+    val hotBuckets = perBucket.filter(_.getLong(2) > 4 * meanPerBucket)
+      .map(_.getLong(0)).toSet
+    val saltExpr =
+      if (hotBuckets.isEmpty) lit(0L)
+      else when(col("__bucket").isInCollection(hotBuckets),
+        pmod(xxhash64(col(keyCols.last)), lit(8L))).otherwise(lit(0L))
     val newData = survivors.select((valueCols.map(col) :+ col("__bucket")): _*)
       .unionByName(upserts)
     val newVersion = cur.version + 1
     val dataRel = s"data/v$newVersion"
     newData
-      .repartition(numBuckets, col("__bucket"))
+      .repartition(numBuckets, col("__bucket"), saltExpr)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")

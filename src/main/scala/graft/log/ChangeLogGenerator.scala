@@ -182,6 +182,38 @@ object ChangeLogGenerator {
     }
   }
 
+  /** JSONL variant of the change log — raw text lines + JSON codec, the
+    * draethos kafka+json shape. Every `malformedEvery`-th line is
+    * corrupted (truncated JSON) to exercise the DLQ path.
+    */
+  def writeJsonlSegments(spark: SparkSession, dir: String, cfg: Config,
+      malformedEvery: Int = 0): Unit = {
+    import spark.implicits._
+    val per = math.max(1L, (cfg.nEvents + cfg.numSegments - 1) / cfg.numSegments)
+    val m = malformedEvery
+    deliveryStream(spark, cfg)
+      .withColumn("seg", format_string("%05d", (col("pos") / per).cast("int")))
+      .withColumn("value", to_json(struct(col("ev.*"))))
+      .withColumn("value",
+        if (m > 0) when(pmod(col("ev.lsn"), lit(m)) === lit(m - 1),
+          concat(lit("{\"oops\":"), substring(col("value"), 1, 10)))
+          .otherwise(col("value"))
+        else col("value"))
+      .select("seg", "value")
+      .repartition(cfg.numSegments, col("seg"))
+      .write.mode(SaveMode.Overwrite).partitionBy("seg").text(dir)
+    val root = new java.io.File(dir)
+    new java.io.File(root, "_SUCCESS").delete()
+    val segDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - segDirs.length * 2000L
+    segDirs.zipWithIndex.foreach { case (d, idx) =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.setLastModified(base + idx * 2000L))
+    }
+  }
+
   /** The independent oracle reducer: what the reference's key-idempotent
     * sink converges to (REPLACE-INTO last-write-wins, reference
     * `internal/target/mysql.go:23`) = latest-lsn row per key, dropped if
