@@ -159,7 +159,7 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "8000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "40000000").toLong
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "all") // all|cdc|queries
     val workDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(shmRoot), "graftbench").toString

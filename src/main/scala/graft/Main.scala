@@ -42,12 +42,57 @@ object Main {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("start") => start(args.tail)
     case Some("generate-log") => generateLog(args.tail)
+    case Some("compact") => compact(args.tail)
+    case Some("config-template") => configTemplate()
     case _ =>
       System.err.println(
         "usage: graft start -f pipeline.yaml [--verify-oracle]\n" +
-        "       graft generate-log --out DIR [--events N] [--segments K] [--seed S]")
+        "       graft generate-log --out DIR [--events N] [--segments K] [--seed S] [--zipf Z]\n" +
+        "       graft compact --table DIR [--drop-tombstones]\n" +
+        "       graft config-template")
       sys.exit(2)
   }
+
+  /** Table maintenance: rewrite each bucket to one file, optionally GC
+    * tombstones (see LakeTable.compact).
+    */
+  private def compact(args: Array[String]): Unit = {
+    val table = flag(args, "--table").getOrElse {
+      System.err.println("compact: --table DIR required"); sys.exit(2); ""
+    }
+    val spark = session("graft-compact")
+    val lake = graft.lake.LakeTable(spark, table)
+    val s = lake.compact(dropTombstones = args.contains("--drop-tombstones"))
+    println(s"[graft] compacted to version ${s.version}: " +
+      s"${s.files.values.map(_.size).sum} files in ${s.files.size} buckets")
+    spark.stop()
+  }
+
+  /** Emit a pipeline spec skeleton ≙ `draethos generate`
+    * (`cmd/scaffold/root.go:229-380`, flag-driven scaffold → YAML).
+    */
+  private def configTemplate(): Unit = println(
+    """stream:
+      |  name: my-pipeline
+      |  checkpointDir: /data/ckpt
+      |  instance:
+      |    source:
+      |      type: changelog          # changelog | csv | jsonl
+      |      specs:
+      |        path: /data/log
+      |        codec: json            # json | yaml | xml
+      |        maxFilesPerTrigger: 8
+      |    target:
+      |      type: lake               # lake | files
+      |      specs:
+      |        path: /data/lake
+      |        keyColumns: [repo, path]
+      |        numBuckets: 64
+      |    dlq:
+      |      type: files
+      |      specs:
+      |        path: /data/dlq
+      |""".stripMargin)
 
   private def start(args: Array[String]): Unit = {
     val specPath = flag(args, "-f").getOrElse {
@@ -128,6 +173,7 @@ object Main {
       numSegments = flag(args, "--segments").map(_.toInt).getOrElse(20),
       nRepos = flag(args, "--repos").map(_.toInt).getOrElse(200),
       pathsPerRepo = flag(args, "--paths").map(_.toInt).getOrElse(50),
+      zipfExponent = flag(args, "--zipf").map(_.toDouble).getOrElse(1.2),
       seed = flag(args, "--seed").map(_.toLong).getOrElse(42L))
     val spark = session("graft-generate-log")
     val t0 = System.nanoTime()

@@ -62,8 +62,18 @@ final case class MergeStats(
 class LakeTable(
     val spark: SparkSession,
     val tablePath: String,
-    val keyCols: Seq[String],
-    val numBuckets: Int) {
+    requestedKeyCols: Seq[String],
+    requestedNumBuckets: Int) {
+
+  /** For an existing table the SNAPSHOT is authoritative for key columns
+    * and bucket count (a reader opening with different defaults must not
+    * re-hash rows into the wrong buckets); constructor values apply only
+    * at creation.
+    */
+  def keyCols: Seq[String] =
+    currentSnapshot.map(_.keyCols).getOrElse(requestedKeyCols)
+  def numBuckets: Int =
+    currentSnapshot.map(_.numBuckets).getOrElse(requestedNumBuckets)
 
   import LakeTable._
 
@@ -86,11 +96,30 @@ class LakeTable(
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
 
-  /** Create-if-absent with the base schema (key cols + value cols). */
+  /** Internal per-row columns: the applied commit sequence and a tombstone
+    * flag. Storing them makes the MERGE itself monotone per key — a stale
+    * event (lower lsn than the stored row, including a stored tombstone)
+    * can never win, for ANY batching/ordering of the log. The streaming
+    * dedup state remains the shuffle-volume optimization and first line of
+    * defense; the table is safe even without it (state loss, ad-hoc batch
+    * imports). Tombstones are dropped by `compact()` once no replayer can
+    * be behind them.
+    */
+  val LsnMeta = "__lsn"
+  val DeletedMeta = "__deleted"
+  private def metaFields = Seq(
+    StructField(LsnMeta, LongType, nullable = false),
+    StructField(DeletedMeta, BooleanType, nullable = false))
+
+  /** Create-if-absent with the base USER schema (key cols + value cols);
+    * the physical schema appends the internal meta columns.
+    */
   def createIfAbsent(baseSchema: StructType): Snapshot = currentSnapshot.getOrElse {
     Files.createDirectories(snapshotsDir)
     val s = Snapshot(
-      version = 0L, schemaDdl = baseSchema.toDDL, numBuckets = numBuckets,
+      version = 0L,
+      schemaDdl = StructType(baseSchema.fields ++ metaFields).toDDL,
+      numBuckets = numBuckets,
       keyCols = keyCols, files = Map.empty, appliedUpTo = Map.empty,
       lineage = Map.empty, totalRows = 0L, parentVersion = -1L)
     commitSnapshot(s)
@@ -113,14 +142,26 @@ class LakeTable(
 
   // -- reads -------------------------------------------------------------------
 
-  def schema: StructType = currentSnapshot
+  /** Physical schema (includes internal meta columns). */
+  def physicalSchema: StructType = currentSnapshot
     .map(s => StructType.fromDDL(s.schemaDdl))
     .getOrElse(StructType(Nil))
 
-  /** Read the current table state (all buckets). Old files missing evolved
-    * columns surface them as NULL — schema-on-read evolution.
+  /** User-visible schema. */
+  def schema: StructType = StructType(physicalSchema.fields
+    .filterNot(f => f.name == LsnMeta || f.name == DeletedMeta))
+
+  /** Read the current table state (all buckets): live rows, user columns.
+    * Old files missing evolved columns surface them as NULL —
+    * schema-on-read evolution.
     */
-  def read(): DataFrame = currentSnapshot match {
+  def read(): DataFrame = readMeta() match {
+    case df if df.columns.isEmpty => df
+    case df => df.filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
+  }
+
+  /** Read including the internal meta columns (lineage, tests, compaction). */
+  def readMeta(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) => readFiles(StructType.fromDDL(s.schemaDdl),
       s.files.values.flatten.toSeq)
@@ -130,6 +171,7 @@ class LakeTable(
   def readVersion(version: Long): DataFrame = {
     val s = snapshot(version)
     readFiles(StructType.fromDDL(s.schemaDdl), s.files.values.flatten.toSeq)
+      .filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
 
   private def readFiles(sch: StructType, rel: Seq[String]): DataFrame =
@@ -207,15 +249,18 @@ class LakeTable(
     val current = readFiles(newSchema, touchedFiles)
       .withColumn("__bucket", bucketExpr)
 
-    // 5. survivors = current rows whose key is not in this batch
-    val keyOnly = winners.select(keyCols.map(col): _*)
-    val survivors = current.join(broadcastIfSmall(keyOnly), keyCols, "left_anti")
-
-    // 6. upserts = non-delete winners projected to the evolved lake schema
-    //    (drift values lifted out of `extra`)
-    val upsertsBase = winners.filter(col(opCol) =!= "delete")
-    val valueCols = newSchema.fieldNames.toSeq
-    val upserts = valueCols.foldLeft(upsertsBase) { (df, c) =>
+    // 5+6. monotone MERGE: batch winners become candidate rows carrying
+    //    (__lsn = event lsn, __deleted = op=='delete', drift values lifted
+    //    out of `extra`); per key, the row with the highest __lsn wins
+    //    across {stored row, candidate}. A stale upsert can never replace
+    //    a newer row OR a newer tombstone — order-independent convergence
+    //    for any batching, with or without upstream dedup state.
+    val valueCols = newSchema.fieldNames.toSeq // includes meta columns
+    val userCols = valueCols.filterNot(c => c == LsnMeta || c == DeletedMeta)
+    val candBase = winners
+      .withColumn(LsnMeta, col(lsnCol))
+      .withColumn(DeletedMeta, col(opCol) === "delete")
+    val upserts = userCols.foldLeft(candBase) { (df, c) =>
       if (df.columns.contains(c)) df
       else if (df.columns.contains("extra"))
         df.withColumn(c, element_at(col("extra"), c))
@@ -238,8 +283,12 @@ class LakeTable(
       if (hotBuckets.isEmpty) lit(0L)
       else when(col("__bucket").isInCollection(hotBuckets),
         pmod(xxhash64(col(keyCols.last)), lit(8L))).otherwise(lit(0L))
-    val newData = survivors.select((valueCols.map(col) :+ col("__bucket")): _*)
+    val resolveW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
+    val newData = current.select((valueCols.map(col) :+ col("__bucket")): _*)
       .unionByName(upserts)
+      .withColumn("__mrn", row_number().over(resolveW))
+      .filter(col("__mrn") === 1).drop("__mrn")
     val newVersion = cur.version + 1
     val dataRel = s"data/v$newVersion"
     newData
@@ -277,22 +326,19 @@ class LakeTable(
       nUpserts + nDeletes, nUpserts, nDeletes, touched.size, newCols)
   }
 
-  /** Broadcast the batch-key side of the anti-join when it is plausibly
-    * small relative to the stored buckets (micro-batches usually are);
-    * fall back to a shuffled join above the threshold.
+  /** Compact the table: rewrite every bucket into one file. Preserves the
+    * internal meta columns; with `dropTombstones=true` also garbage-
+    * collects deleted keys (safe once no replayer can deliver events with
+    * lsn below the per-bucket lineage watermark). Same snapshot mechanics.
     */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
-
-  /** Compact a table version: rewrite every bucket to one file per
-    * `targetFilesPerBucket`. Bounded maintenance, same snapshot mechanics.
-    */
-  def compact(): Snapshot = {
+  def compact(dropTombstones: Boolean = false): Snapshot = {
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException("no table"))
-    val sch = StructType.fromDDL(cur.schemaDdl)
     val newVersion = cur.version + 1
     val dataRel = s"data/v$newVersion"
-    read().withColumn("__bucket", bucketExpr)
+    val base = if (dropTombstones) readMeta().filter(!col(DeletedMeta))
+      else readMeta()
+    base.withColumn("__bucket", bucketExpr)
       .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")

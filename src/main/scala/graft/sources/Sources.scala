@@ -52,4 +52,48 @@ object Sources {
     val schema = spark.read.json(path).schema
     jsonl(spark, path, schema)
   }
+
+  // -- value-based type sniffing (≙ reference DDL inference) -------------------
+
+  /** The reference's date/datetime regex ladder, applied at sink-write time
+    * to pick column DDL (`internal/target/pgsql.go:326-363`):
+    * `YYYY-MM-DD` → DATE; ISO datetime (T or space separated, optional
+    * fraction) → TIMESTAMP; len > 255 → TEXT; else VARCHAR.
+    */
+  private val DateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+  private val DateTimeRe =
+    "^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z)?$"
+
+  /** Sniff the draethos-inferred type of one string value. */
+  def sniffType(v: String): String =
+    if (v == null) "varchar"
+    else if (v.matches(DateRe)) "date"
+    else if (v.matches(DateTimeRe)) "timestamp"
+    else if (v.length > 255) "text"
+    else "varchar"
+
+  /** Apply the type ladder to every string column of a DataFrame: a column
+    * whose non-null values ALL match the date (resp. datetime) regex is
+    * cast to DateType (resp. TimestampType) — the distributed analog of the
+    * reference's per-value DDL sniffing, decided per column instead of
+    * per record (per-record DDL flapping is a reference bug we don't keep).
+    * One aggregation pass; cheap at any scale.
+    */
+  def sniffTypes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty) return df
+    val checks = strCols.flatMap { c =>
+      Seq(
+        min(coalesce(col(c).rlike(DateRe), lit(false))).as(s"${c}__d"),
+        min(coalesce(col(c).rlike(DateTimeRe), lit(false))).as(s"${c}__t"))
+    }
+    val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).head()
+    strCols.foldLeft(df) { (d, c) =>
+      if (row.getAs[Boolean](s"${c}__d")) d.withColumn(c, to_date(col(c)))
+      else if (row.getAs[Boolean](s"${c}__t"))
+        d.withColumn(c, to_timestamp(regexp_replace(col(c), "T", " ")))
+      else d
+    }
+  }
 }
