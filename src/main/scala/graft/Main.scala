@@ -80,7 +80,9 @@ object Main {
       |      type: changelog          # changelog | csv | jsonl
       |      specs:
       |        path: /data/log
-      |        codec: json            # json | yaml | xml
+      |        format: parquet        # parquet (typed segments) | jsonl (raw text + codec, DLQ-able)
+      |        codec: json            # json | yaml | xml (jsonl format requires json)
+      |        trigger: availableNow  # availableNow (replay+exit) | processingTime=500ms (tail)
       |        maxFilesPerTrigger: 8
       |    target:
       |      type: lake               # lake | files
@@ -88,10 +90,16 @@ object Main {
       |        path: /data/lake
       |        keyColumns: [repo, path]
       |        numBuckets: 64
+      |        # files target only: codec json -> partitioned JSONL under
+      |        # the prefix template; default codec writes parquet
+      |        # codec: json
+      |        # prefix: "%{YEAR}/%{MONTH}/%{DAY}/%{HOUR}/"
       |    dlq:
       |      type: files
       |      specs:
       |        path: /data/dlq
+      |# CLI: graft start -f pipeline.yaml [--verify-oracle]
+      |#         [--follow [--interval-ms N]] [--idle-timeout-ms N]
       |""".stripMargin)
 
   private def start(args: Array[String]): Unit = {
@@ -105,19 +113,36 @@ object Main {
       case "changelog" =>
         require(spec.instance.target.tpe == "lake",
           s"changelog source requires lake target, got ${spec.instance.target.tpe}")
+        val dlqDir = spec.instance.dlq.map(_.path).filter(_.nonEmpty)
+        require(dlqDir.isEmpty || spec.instance.source.format == "jsonl",
+          "dlq configured but source format is parquet (typed segments " +
+            "cannot produce malformed records); set source format: jsonl")
         val cfg = CdcJobConfig(
           logDir = spec.instance.source.path,
           tablePath = spec.instance.target.path,
           checkpointDir =
             if (spec.checkpointDir.nonEmpty) spec.checkpointDir
             else spec.instance.target.path + "/_checkpoint",
+          dlqDir = dlqDir,
           keyCols = spec.instance.target.keyColumns,
           numBuckets = spec.instance.target.numBuckets,
           maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
+          format = spec.instance.source.format,
           checkpointId = spec.name)
         val job = CdcJob(spark, cfg)
+        // tailing: spec trigger processingTime=<N>ms, or CLI --follow
+        // [--interval-ms N]; --idle-timeout-ms N stops after that long
+        // without new data (catch-up-then-exit; also the e2e-test hook)
+        val followMs: Option[Long] = spec.instance.source.processingTimeMs
+          .orElse(if (args.contains("--follow"))
+            Some(flag(args, "--interval-ms").map(_.toLong).getOrElse(500L))
+          else None)
+        val idleMs = flag(args, "--idle-timeout-ms").map(_.toLong)
         val t0 = System.nanoTime()
-        val stats = job.runToCompletion()
+        val stats = followMs match {
+          case Some(ms) => job.runFollowing(ms, idleMs)
+          case None => job.runToCompletion()
+        }
         val secs = (System.nanoTime() - t0) / 1e9
         val applied = stats.filterNot(_.skippedAsApplied)
         val events = applied.map(_.inputRows).sum
@@ -131,7 +156,19 @@ object Main {
           // independent one-batch reducer over the raw log vs table state
           // read the partitioned log dir (not a glob — avoids the noisy
           // FileStreamSink metadata probe) and drop the seg partition col
-          val raw = spark.read.parquet(spec.instance.source.path).drop("seg")
+          val raw = cfg.format match {
+            case "jsonl" =>
+              // parse the raw lines like the stream does; malformed lines
+              // (DLQ-bound) carry no envelope and drop out here too
+              spark.read.text(spec.instance.source.path + "/seg=*")
+                .withColumn("__p", from_json(col("value"),
+                  graft.envelope.ChangeEvent.schema))
+                .filter(col("__p.lsn").isNotNull && col("__p.op").isNotNull &&
+                  col("__p.repo").isNotNull && col("__p.path").isNotNull)
+                .select("__p.*")
+            case _ =>
+              spark.read.parquet(spec.instance.source.path).drop("seg")
+          }
           val oracle = job.oracleOf(raw)
           val got = table.select(col("repo"), col("path"),
             sha2(col("content"), 256).as("sha"))
@@ -145,8 +182,17 @@ object Main {
         val df = graft.sources.Sources.csv(spark, spec.instance.source.path)
         writeBatchTarget(df, spec)
       case "jsonl" =>
-        val df = graft.sources.Sources.jsonlInferred(spark, spec.instance.source.path)
-        writeBatchTarget(df, spec)
+        val src = spec.instance.source.path
+        val schema = graft.sources.Sources.inferJsonlSchema(spark, src)
+        val (good, bad) = graft.sources.Sources.jsonlSplit(spark, src, schema)
+        spec.instance.dlq.map(_.path).filter(_.nonEmpty).foreach { dlq =>
+          val nBad = bad.count()
+          if (nBad > 0) {
+            bad.write.mode("append").parquet(dlq)
+            println(s"[graft] routed $nBad malformed lines to DLQ $dlq")
+          }
+        }
+        writeBatchTarget(good, spec)
       case t =>
         System.err.println(s"source type $t not implemented"); sys.exit(2)
     }
@@ -155,6 +201,18 @@ object Main {
 
   private def writeBatchTarget(df: org.apache.spark.sql.DataFrame,
       spec: PipelineSpec): Unit = spec.instance.target.tpe match {
+    case "files" if spec.instance.target.codec == "json" =>
+      // JSONL files laid out under the reference's S3 prefix template
+      // (`internal/target/s3.go:205-235`); partition time = write wall
+      // clock, like the reference's time.Now() prefix rendering
+      require(spec.instance.target.lineBreak == "\n",
+        s"lineBreak ${spec.instance.target.lineBreak} not supported (text sink is newline-delimited)")
+      val n = df.count()
+      val parts = graft.sinks.Sinks.partitionedJsonl(
+        df.withColumn("__graft_ts", current_timestamp()), "__graft_ts",
+        spec.instance.target.prefix, spec.instance.target.path)
+      println(s"[graft] wrote $n jsonl rows to ${spec.instance.target.path}" +
+        (if (parts.nonEmpty) s" partitioned by ${parts.mkString("/")}" else ""))
     case "files" =>
       val n = df.count()
       df.write.mode("overwrite").parquet(spec.instance.target.path)

@@ -114,20 +114,28 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeEvent], batchId: Long) =>
-        val good =
-          if (cfg.format == "jsonl") {
-            // materialize once so the DLQ split doesn't re-execute the
-            // stateful upstream; parquet-format batches skip these jobs
-            val df = batch.toDF().localCheckpoint()
-            cfg.dlqDir.foreach { dir =>
-              df.filter(col("op") === DlqOp)
-                .select(col("content").as("raw"), col("ts").as("dlq_ts"))
-                .write.mode("append").parquet(dir)
-            }
-            df.filter(col("op") =!= DlqOp)
-          } else batch.toDF()
-        val st = lake.merge(good, cfg.checkpointId, batchId)
-        stats.add(st)
+        if (lake.isApplied(cfg.checkpointId, batchId)) {
+          // crash-replayed batch: skip the DLQ append too, so the DLQ is
+          // exactly-once like the table (gating only the merge would
+          // re-append the same bad rows on every replay)
+          stats.add(MergeStats(lake.currentVersion.getOrElse(-1L), batchId,
+            skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
+        } else {
+          val good =
+            if (cfg.format == "jsonl") {
+              // materialize once so the DLQ split doesn't re-execute the
+              // stateful upstream; parquet-format batches skip these jobs
+              val df = batch.toDF().localCheckpoint()
+              cfg.dlqDir.foreach { dir =>
+                df.filter(col("op") === DlqOp)
+                  .select(col("content").as("raw"),
+                    current_timestamp().as("dlq_ts"))
+                  .write.mode("append").parquet(dir)
+              }
+              df.filter(col("op") =!= DlqOp)
+            } else batch.toDF()
+          stats.add(lake.merge(good, cfg.checkpointId, batchId))
+        }
         ()
       }
       .start()
@@ -148,14 +156,49 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     drainStats()
   }
 
+  /** Tail the log forever with a ProcessingTime trigger ≙ the reference's
+    * main poll loop (`internal/source/kafka.go:84-118`, which only exits
+    * on signal/EOF-config). With `idleTimeoutMs` set, stop gracefully
+    * after that long without new data — the testable analog of the
+    * reference's `enable.partition.eof` drain, and a natural CLI knob for
+    * catch-up-then-exit runs.
+    */
+  def runFollowing(intervalMs: Long,
+      idleTimeoutMs: Option[Long] = None): Seq[MergeStats] = {
+    val q = start(Trigger.ProcessingTime(intervalMs))
+    idleTimeoutMs match {
+      case None => q.awaitTermination()
+      case Some(idle) =>
+        var lastData = System.nanoTime()
+        var lastSeenBatch = -1L
+        def idleExceeded = (System.nanoTime() - lastData) / 1e6 >= idle
+        // `lastProgress != null` gate: never stop before the engine has
+        // reported at least one (possibly empty) batch — a cold first
+        // batch can take longer than the idle window
+        while (q.isActive && !(idleExceeded && q.lastProgress != null)) {
+          val p = q.lastProgress
+          if (p != null && p.batchId > lastSeenBatch && p.numInputRows > 0) {
+            lastSeenBatch = p.batchId
+            lastData = System.nanoTime()
+          }
+          Thread.sleep(50)
+        }
+        if (q.isActive) q.stop()
+        q.awaitTermination()
+    }
+    drainStats()
+  }
+
   /** The independent one-batch oracle applied to an arbitrary envelope
     * DataFrame: latest-lsn winner per key, deletes dropped — what the
     * reference's key-idempotent sink converges to.
     */
   def oracleOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // equal-lsn tie-break: delete wins — aligned with LakeTable's
+    // within-batch winner window AND its cross-file resolve()
     val w = Window.partitionBy(cfg.keyCols.map(col): _*)
-      .orderBy(col("lsn").desc, col("op").desc)
+      .orderBy(col("lsn").desc, (col("op") === "delete").desc, col("op").desc)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "delete")
       .drop("__rn")

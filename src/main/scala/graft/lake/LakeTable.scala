@@ -13,7 +13,9 @@ final case class Snapshot(
     schemaDdl: String,
     numBuckets: Int,
     keyCols: Seq[String],
-    // bucket id (as string, json map keys) -> relative data file paths
+    // bucket id (as string, json map keys) -> relative data file paths.
+    // A bucket may hold several files (merge-on-read deltas); the reader
+    // resolves the max-__lsn winner per key across them.
     files: Map[String, Seq[String]],
     // exactly-once ledger: checkpointId -> highest applied streaming batchId.
     // Streaming batchIds are monotone per checkpoint, so one Long per
@@ -21,7 +23,6 @@ final case class Snapshot(
     appliedUpTo: Map[String, Long],
     // per-partition lineage: bucket -> max applied LSN watermark
     lineage: Map[String, Long],
-    totalRows: Long,
     parentVersion: Long)
 
 /** Result of one merge commit, for metrics / listeners. */
@@ -35,19 +36,26 @@ final case class MergeStats(
     touchedBuckets: Int,
     newColumns: Seq[String])
 
-/** `LakeTable` — an Iceberg-*semantics* copy-on-write table format over
+/** `LakeTable` — an Iceberg-*semantics* merge-on-read table format over
   * plain Parquet (no Iceberg jar ships in this sandbox; SURVEY.md §7):
   *
   *  - versioned JSON snapshots (`_snapshots/snapshot-N.json`) listing data
   *    files per hash bucket, the evolving schema, the exactly-once batch
   *    ledger, and per-bucket applied-LSN lineage;
   *  - atomic commit via write-temp-then-rename of a `_current` pointer;
-  *  - **bucketed copy-on-write**: rows are hash-partitioned into
-  *    `numBuckets` buckets on the key columns; a merge rewrites only the
-  *    buckets its batch touches. Per-batch cost is O(touched buckets), not
-  *    O(table) — the property that keeps a 10^10-event replay feasible
-  *    (at cluster scale `numBuckets` would be thousands; data files per
-  *    bucket stay bounded by compaction);
+  *  - **bucketed merge-on-read**: rows are hash-partitioned into
+  *    `numBuckets` buckets on the key columns; a merge APPENDS its batch
+  *    winners as per-bucket delta files (rows + tombstones carrying
+  *    `__lsn`), and the reader resolves the max-`__lsn` winner per key.
+  *    Per-batch write cost is O(batch), not O(touched-bucket contents) —
+  *    the copy-on-write variant rewrote every touched bucket in full,
+  *    which under Zipf-hot batches approaches O(table) per batch and
+  *    makes a 10^10-event replay pay O(batches × table) write volume.
+  *    Read amplification is bounded by **budgeted compaction**: any
+  *    bucket whose file count exceeds `maxFilesPerBucket` is rewritten
+  *    (winner-per-key, tombstones kept) inside the same commit, so
+  *    compaction cost amortizes against the batches that dirtied the
+  *    bucket (at cluster scale `numBuckets` would be thousands);
   *  - schema evolution ≙ draethos auto-ALTER (`internal/target/pgsql.go:
   *    162-238`): new drift fields become appended nullable string columns;
   *    old files are read with the superset schema (missing → null);
@@ -63,7 +71,13 @@ class LakeTable(
     val spark: SparkSession,
     val tablePath: String,
     requestedKeyCols: Seq[String],
-    requestedNumBuckets: Int) {
+    requestedNumBuckets: Int,
+    /** Compaction budget: max delta files per bucket before the merge
+      * commit rewrites that bucket (winner-per-key). Bounds MOR read
+      * amplification at `maxFilesPerBucket` file-merges per key lookup.
+      * Operational knob, not table identity — safe to vary per writer.
+      */
+    val maxFilesPerBucket: Int = 8) {
 
   /** For an existing table the SNAPSHOT is authoritative for key columns
     * and bucket count (a reader opening with different defaults must not
@@ -96,6 +110,14 @@ class LakeTable(
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
 
+  /** Exactly-once ledger probe: has this (checkpointId, batchId) already
+    * been committed? Lets callers skip side-effects (DLQ appends, stats)
+    * for crash-replayed batches, keeping every output exactly-once — not
+    * just the table.
+    */
+  def isApplied(checkpointId: String, batchId: Long): Boolean =
+    currentSnapshot.exists(_.appliedUpTo.get(checkpointId).exists(batchId <= _))
+
   /** Internal per-row columns: the applied commit sequence and a tombstone
     * flag. Storing them makes the MERGE itself monotone per key — a stale
     * event (lower lsn than the stored row, including a stored tombstone)
@@ -121,7 +143,7 @@ class LakeTable(
       schemaDdl = StructType(baseSchema.fields ++ metaFields).toDDL,
       numBuckets = numBuckets,
       keyCols = keyCols, files = Map.empty, appliedUpTo = Map.empty,
-      lineage = Map.empty, totalRows = 0L, parentVersion = -1L)
+      lineage = Map.empty, parentVersion = -1L)
     commitSnapshot(s)
     s
   }
@@ -160,8 +182,25 @@ class LakeTable(
     case df => df.filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
 
-  /** Read including the internal meta columns (lineage, tests, compaction). */
+  /** Read including the internal meta columns: the MOR resolve — one
+    * winner per key (max `__lsn`, tombstones included so callers can see
+    * deletions). Buckets holding a single (already-compacted) file skip
+    * the resolve shuffle at the plan level only when there is nothing to
+    * merge at all (files.size == buckets with one file each is still
+    * resolved — a single merge commit can write one file per bucket with
+    * multiple rows per key only via equal-lsn dupes, which resolve() also
+    * collapses; correctness first, the window is one shuffle).
+    */
   def readMeta(): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(s) => resolve(readFiles(StructType.fromDDL(s.schemaDdl),
+      s.files.values.flatten.toSeq))
+  }
+
+  /** Raw rows of every referenced file, unresolved (deltas + tombstones
+    * as stored) — lineage checks, compaction internals, tests.
+    */
+  def readRaw(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) => readFiles(StructType.fromDDL(s.schemaDdl),
       s.files.values.flatten.toSeq)
@@ -170,9 +209,26 @@ class LakeTable(
   /** Time travel: read the table as of a given snapshot version. */
   def readVersion(version: Long): DataFrame = {
     val s = snapshot(version)
-    readFiles(StructType.fromDDL(s.schemaDdl), s.files.values.flatten.toSeq)
+    resolve(readFiles(StructType.fromDDL(s.schemaDdl),
+        s.files.values.flatten.toSeq))
       .filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
+
+  /** MOR winner resolution: per key, highest `__lsn` wins; on an equal-lsn
+    * delete/upsert pair the tombstone wins (same tie-break as the merge's
+    * within-batch window — equal LSNs only arise from redelivered events,
+    * where both rows are identical anyway; the aligned tie-break makes
+    * the pathological distinct-payload case batching-independent too).
+    */
+  private def resolve(df: DataFrame): DataFrame =
+    if (df.columns.isEmpty) df
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
+      df.withColumn("__rrn", row_number().over(w))
+        .filter(col("__rrn") === 1).drop("__rrn")
+    }
 
   private def readFiles(sch: StructType, rel: Seq[String]): DataFrame =
     if (rel.isEmpty) spark.createDataFrame(
@@ -202,11 +258,14 @@ class LakeTable(
     }
     val oldSchema = StructType.fromDDL(cur.schemaDdl)
 
-    // 1. one winner per key: max lsn (ties broken by op rank so a
-    //    duplicate-lsn delete/upsert pair resolves deterministically)
+    // 1. one winner per key: max lsn; on an equal-lsn tie the delete wins,
+    //    matching resolve()'s cross-file tie-break exactly, so the final
+    //    state for pathological duplicate-lsn delete/upsert pairs is
+    //    independent of how the log was batched. (LSNs are normally
+    //    unique per logical event; equal-lsn rows are redeliveries.)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(lsnCol).desc, col(opCol).desc)
+      .orderBy(col(lsnCol).desc, (col(opCol) === "delete").desc, col(opCol).desc)
     // localCheckpoint (eager): runs the heavy upstream path (scan →
     // stateful dedup → window) exactly once and truncates the lineage, so
     // the stats job and the COW write job below plan against materialized
@@ -243,18 +302,13 @@ class LakeTable(
     val newSchema = StructType(oldSchema.fields ++
       newCols.map(c => StructField(c, StringType, nullable = true)))
 
-    // 4. current rows of touched buckets, read with the evolved schema
-    val touchedFiles = cur.files.filter { case (b, _) => touchedSet(b) }
-      .values.flatten.toSeq
-    val current = readFiles(newSchema, touchedFiles)
-      .withColumn("__bucket", bucketExpr)
-
-    // 5+6. monotone MERGE: batch winners become candidate rows carrying
-    //    (__lsn = event lsn, __deleted = op=='delete', drift values lifted
-    //    out of `extra`); per key, the row with the highest __lsn wins
-    //    across {stored row, candidate}. A stale upsert can never replace
-    //    a newer row OR a newer tombstone — order-independent convergence
-    //    for any batching, with or without upstream dedup state.
+    // 4+5. monotone MERGE, merge-on-read: batch winners become delta rows
+    //    carrying (__lsn = event lsn, __deleted = op=='delete', drift
+    //    values lifted out of `extra`); nothing stored is read or
+    //    rewritten here — the reader resolves max-__lsn per key across
+    //    {stored rows, deltas}. A stale upsert can never replace a newer
+    //    row OR a newer tombstone — order-independent convergence for any
+    //    batching, with or without upstream dedup state.
     val valueCols = newSchema.fieldNames.toSeq // includes meta columns
     val userCols = valueCols.filterNot(c => c == LsnMeta || c == DeletedMeta)
     val candBase = winners
@@ -267,14 +321,13 @@ class LakeTable(
       else df.withColumn(c, lit(null).cast(StringType))
     }.select((valueCols.map(col) :+ col("__bucket")): _*)
 
-    // 7. copy-on-write the touched buckets only, salting hot buckets.
-    //    Cold buckets repartition by bucket alone: each task holds whole
-    //    buckets, so partitionBy emits O(numBuckets) files per version
-    //    instead of O(tasks × buckets) tiny files (file explosion makes
-    //    every later batch pay listing + read overhead). Buckets whose
-    //    batch volume exceeds 4x the mean (Zipf-hot repos) get a salt
-    //    derived from the key tail so their write spreads across tasks —
-    //    bounded extra files, only where skew demands them.
+    // 6. append the delta, one file per touched bucket, salting hot
+    //    buckets. Cold buckets repartition by bucket alone: each task
+    //    holds whole buckets, so partitionBy emits O(touched buckets)
+    //    files per version instead of O(tasks × buckets) tiny files.
+    //    Buckets whose batch volume exceeds 4x the mean (Zipf-hot repos)
+    //    get a salt derived from the key tail so their write spreads
+    //    across tasks — bounded extra files, only where skew demands.
     val meanPerBucket = math.max(1L,
       perBucket.map(_.getLong(2)).sum / math.max(perBucket.length, 1))
     val hotBuckets = perBucket.filter(_.getLong(2) > 4 * meanPerBucket)
@@ -283,47 +336,69 @@ class LakeTable(
       if (hotBuckets.isEmpty) lit(0L)
       else when(col("__bucket").isInCollection(hotBuckets),
         pmod(xxhash64(col(keyCols.last)), lit(8L))).otherwise(lit(0L))
-    val resolveW = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
-    val newData = current.select((valueCols.map(col) :+ col("__bucket")): _*)
-      .unionByName(upserts)
-      .withColumn("__mrn", row_number().over(resolveW))
-      .filter(col("__mrn") === 1).drop("__mrn")
     val newVersion = cur.version + 1
-    val dataRel = s"data/v$newVersion"
-    newData
+    val deltaRel = s"data/v$newVersion/delta"
+    upserts
       .repartition(numBuckets, col("__bucket"), saltExpr)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
-      .parquet(s"$tablePath/$dataRel")
+      .parquet(s"$tablePath/$deltaRel")
+    val deltaFiles = enumerateBucketFiles(deltaRel)
 
-    // 8. enumerate written files per bucket
-    val vDir = Paths.get(tablePath, "data", s"v$newVersion")
-    val newBucketFiles: Map[String, Seq[String]] =
-      Files.list(vDir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("__bucket="))
-        .map { p =>
-          val b = p.getFileName.toString.stripPrefix("__bucket=")
-          val fs = Files.list(p).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => s"$dataRel/__bucket=$b/${f.getFileName}").toSeq
-          b -> fs
-        }.toMap
-
-
+    // 7. budgeted compaction: buckets whose file count now exceeds the
+    //    budget are rewritten winner-per-key (tombstones KEPT — a later
+    //    stale upsert must still lose to them; compact(dropTombstones)
+    //    is the separate GC path). Cost amortizes: a bucket is rewritten
+    //    at most once per maxFilesPerBucket merges that touched it, so
+    //    replay write volume is O(events) + O(table/maxFilesPerBucket ×
+    //    rewrites) instead of COW's O(batches × table).
+    val grown: Map[String, Seq[String]] =
+      (cur.files.keySet ++ deltaFiles.keySet).iterator.map { b =>
+        b -> (cur.files.getOrElse(b, Nil) ++ deltaFiles.getOrElse(b, Nil))
+      }.toMap
+    val overBudget = grown.filter(_._2.size > maxFilesPerBucket)
+    val finalFiles: Map[String, Seq[String]] =
+      if (overBudget.isEmpty) grown
+      else {
+        val rewriteRel = s"data/v$newVersion/rewrite"
+        val resolveW = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
+        readFiles(newSchema, overBudget.values.flatten.toSeq)
+          .withColumn("__bucket", bucketExpr)
+          .withColumn("__mrn", row_number().over(resolveW))
+          .filter(col("__mrn") === 1).drop("__mrn")
+          .repartition(overBudget.size, col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("__bucket")
+          .parquet(s"$tablePath/$rewriteRel")
+        grown ++ enumerateBucketFiles(rewriteRel)
+      }
 
     val next = cur.copy(
       version = newVersion,
       schemaDdl = newSchema.toDDL,
-      files = (cur.files -- touchedSet) ++ newBucketFiles,
+      files = finalFiles,
       appliedUpTo = cur.appliedUpTo + (checkpointId -> batchId),
       lineage = cur.lineage ++ batchLineage.map { case (b, m) =>
         b -> math.max(m, cur.lineage.getOrElse(b, Long.MinValue)) },
-      totalRows = -1L, // filled lazily by stats(); avoid an extra count here
       parentVersion = cur.version)
     commitSnapshot(next)
     MergeStats(newVersion, batchId, skippedAsApplied = false,
       nUpserts + nDeletes, nUpserts, nDeletes, touched.size, newCols)
+  }
+
+  /** List `$tablePath/$rel/__bucket=B/` parquet files → bucket -> relative paths. */
+  private def enumerateBucketFiles(rel: String): Map[String, Seq[String]] = {
+    val dir = Paths.get(tablePath).resolve(rel)
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("__bucket="))
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("__bucket=")
+        val fs = Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => s"$rel/__bucket=$b/${f.getFileName}").toSeq
+        b -> fs
+      }.toMap
   }
 
   /** Compact the table: rewrite every bucket into one file. Preserves the
@@ -373,6 +448,7 @@ object LakeTable {
 
   def apply(spark: SparkSession, path: String,
       keyCols: Seq[String] = Seq("repo", "path"),
-      numBuckets: Int = 32): LakeTable =
-    new LakeTable(spark, path, keyCols, numBuckets)
+      numBuckets: Int = 32,
+      maxFilesPerBucket: Int = 8): LakeTable =
+    new LakeTable(spark, path, keyCols, numBuckets, maxFilesPerBucket)
 }

@@ -35,6 +35,10 @@ object Multimodal {
       modality: String,
       n_bytes: Long,
       sha: String,
+      // sum of unsigned payload bytes — payload-content-sensitive AND
+      // pure-arithmetic, so a SQL oracle can recompute it (sha256 over
+      // BLOB is not portable to the oracle engine)
+      checksum: Long,
       // stub "embedding": deterministic 8-dim projection of the bytes
       features: Array[Float],
       // stub decode outputs (frame count for video, pixels for image...)
@@ -54,10 +58,12 @@ object Multimodal {
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(m.payload).map("%02x".format(_)).mkString
     var h = 0xcbf29ce484222325L
+    var checksum = 0L
     val feat = new Array[Float](8)
     var i = 0
     while (i < m.payload.length) {
       h = (h ^ m.payload(i)) * 0x100000001b3L
+      checksum += m.payload(i) & 0xff
       feat(i % 8) += (h % 1000L).toFloat / 1000f
       i += 1
     }
@@ -66,7 +72,8 @@ object Multimodal {
       case "audio" => m.sample_rate.toLong * m.duration_ms / 1000
       case _ => m.duration_ms / 40 // ~25 fps frame count
     }
-    MediaFeatures(m.media_id, m.modality, m.payload.length.toLong, sha, feat, units)
+    MediaFeatures(m.media_id, m.modality, m.payload.length.toLong, sha,
+      checksum, feat, units)
   }
 
   /** Feature extraction over a media table: repartition by modality
@@ -75,9 +82,15 @@ object Multimodal {
     * genuinely imperative per-batch work (the documented last-resort
     * case); everything before/after stays in the declarative plan.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      tasksPerModality: Int = 64): Dataset[MediaFeatures] = {
+    // repartition on (modality, hash-slice): modality alone has ~3
+    // distinct values, which collapses 100 TB of decode onto 3 tasks.
+    // The hash slice restores parallelism while keeping each task's
+    // batch homogeneous per modality (one decoder context per task).
     media
-      .repartition(col("modality"))
+      .repartition(col("modality"),
+        pmod(hash(col("media_id")), lit(tasksPerModality)))
       .mapPartitions { it: Iterator[MediaRow] =>
         // batch loop: a real decoder would allocate its native context
         // once here and reuse it across the partition's rows

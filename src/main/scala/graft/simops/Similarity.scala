@@ -50,12 +50,20 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash mapped to [-1, 1]. Seeded — same planes on every run
-    * and every executor, no RNG state shipped.
+    * a quadratic congruential generator mapped to [-0.5, 0.5). Seeded —
+    * same planes on every run and every executor, no RNG state shipped.
+    * Pure i64 arithmetic mod 2^31 (products stay < 2^62, exact under ANSI)
+    * followed by an exact division by 2^31, so any ANSI SQL engine
+    * reproduces the planes bit-for-bit — which makes the LSH bucketing
+    * itself oracle-checkable cross-engine (unlike a xxhash64 seed).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double")
-      / 1000000.0) - 1.0
+  private val M31 = 2147483648L // 2^31
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val idx = lit(plane.toLong * 8191L) + dim.cast("long") + 1L
+    val u1 = pmod(lit(1103515245L) * idx + 12345L, lit(M31))
+    val u2 = pmod(u1 * u1 + 1013904223L, lit(M31))
+    (u2.cast("double") / M31.toDouble) - 0.5
+  }
 
   /** `nPlanes`-bit random-hyperplane signature of a vector: bit p = sign
     * of the projection onto plane p.
@@ -70,16 +78,25 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN via LSH buckets: corpus and queries hashed to `nPlanes`-bit
-    * buckets; candidates = same-bucket pairs; exact cosine + top-k within
-    * candidates. Recall < 1 by construction (reported by the caller
-    * comparing against brute force); cost ∝ bucket sizes, not corpus².
+    * buckets; candidates = same-bucket pairs, plus multi-probe — each
+    * query also probes every bucket within Hamming distance
+    * `probeRadius` of its own (flip 1 bit, then 2 bits, ...), the
+    * standard recall-vs-cost dial; exact cosine + top-k within
+    * candidates. A corpus row lives in exactly one bucket, so probes
+    * never duplicate candidates. Recall < 1 by construction (checked by
+    * `knn_lsh_recall` against brute force); cost ∝ probed bucket sizes,
+    * not corpus².
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nPlanes: Int = 12): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 12,
+      probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("bucket", lshSignature(col("__cv"), nPlanes))
+    val probes = probeBuckets(col("bucket0"), nPlanes, probeRadius)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("bucket", lshSignature(col("__qv"), nPlanes))
+      .withColumn("bucket0", lshSignature(col("__qv"), nPlanes))
+      .withColumn("bucket", explode(probes))
+      .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__cv"), col("__qv")))
@@ -88,6 +105,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** All buckets within Hamming distance ≤ `radius` of `bucket` (incl.
+    * itself), as an array column. radius ≤ 2 supported — beyond that the
+    * probe count grows combinatorially and a coarser `nPlanes` is the
+    * better dial.
+    */
+  private def probeBuckets(bucket: Column, nPlanes: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2, s"probeRadius $radius not in [0,2]")
+    val r0 = Seq(bucket)
+    val r1 = if (radius >= 1)
+      (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))) else Nil
+    val r2 = if (radius >= 2)
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
+        yield bucket.bitwiseXOR(lit((1L << p) | (1L << r)))) else Nil
+    array((r0 ++ r1 ++ r2): _*)
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-bucket

@@ -33,7 +33,9 @@ object Sinks {
       outPath: String): Seq[String] = {
     val tokens = templateTokens(prefix)
     val partCols = tokens.map(_.toLowerCase)
-    val dataCols = df.columns.toSeq
+    // internal "__"-prefixed columns (e.g. an injected wall-clock ts)
+    // drive partitioning but are not serialized into the records
+    val dataCols = df.columns.toSeq.filterNot(_.startsWith("__"))
     val withParts = TokenCols.filter(t => tokens.contains(t._1))
       .foldLeft(df) { case (d, (tok, f)) =>
         d.withColumn(tok.toLowerCase, f(col(tsCol))) }

@@ -18,7 +18,12 @@ import scala.jdk.CollectionConverters._
   */
 object Codecs {
 
-  val Supported: Set[String] = Set("json", "yaml", "xml")
+  /** Codecs with a Column-level (expression) decode. YAML has no SQL
+    * expression — it is supported only via the typed-map path
+    * (`yamlToMap`), never through `decode`; keeping it out of this set
+    * keeps `Supported` and `decode` consistent.
+    */
+  val Supported: Set[String] = Set("json", "xml")
 
   def decode(codec: String, raw: Column, schema: StructType): Column =
     codec match {

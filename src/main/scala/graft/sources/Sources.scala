@@ -49,8 +49,36 @@ object Sources {
     * envelope schemas).
     */
   def jsonlInferred(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.json(path).schema
-    jsonl(spark, path, schema)
+    jsonl(spark, path, inferJsonlSchema(spark, path))
+  }
+
+  /** Inferred line schema minus Spark's synthetic corrupt-record column
+    * (malformed lines are routed by `jsonlSplit`, not carried as a field).
+    */
+  def inferJsonlSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      spark.read.json(path).schema.fields.filterNot(_.name == "_corrupt_record"))
+
+  /** JSONL batch read split into (parsed rows, malformed lines): the DLQ
+    * path for batch imports — the reference logs-and-drops bad records
+    * (`internal/source/kafka.go:93-97`) and never writes its configured
+    * DLQ; we route them for real.
+    */
+  def jsonlSplit(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+      .withColumn("__key", md5(col("value")))
+      .withColumn("__rec", from_json(col("value"), schema))
+    // PERMISSIVE from_json yields an all-null row (not a null struct) for
+    // a malformed line — classify by "at least one field parsed"
+    val parsed = schema.fieldNames.toSeq
+      .map(n => col(s"__rec.$n").isNotNull).reduce(_ || _)
+    val good = raw.filter(parsed)
+      .select((col("__key") +: schema.fieldNames.toSeq.map(n => col(s"__rec.$n"))): _*)
+    val bad = raw.filter(!parsed)
+      .select(col("value").as("raw"), col("__key"))
+    (good, bad)
   }
 
   // -- value-based type sniffing (≙ reference DDL inference) -------------------
@@ -83,15 +111,27 @@ object Sources {
     import org.apache.spark.sql.types.StringType
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (strCols.isEmpty) return df
+    // per column: `__d/__t` = every NON-NULL value matches (nulls vacuously
+    // pass — they render as SQL NULL, carrying no type evidence);
+    // `__dAny/__tAny` = at least one non-null match exists, so an all-null
+    // or empty column stays varchar instead of being vacuously "all dates"
     val checks = strCols.flatMap { c =>
       Seq(
-        min(coalesce(col(c).rlike(DateRe), lit(false))).as(s"${c}__d"),
-        min(coalesce(col(c).rlike(DateTimeRe), lit(false))).as(s"${c}__t"))
+        min(when(col(c).isNull, lit(true)).otherwise(col(c).rlike(DateRe)))
+          .as(s"${c}__d"),
+        max(coalesce(col(c).rlike(DateRe), lit(false))).as(s"${c}__dAny"),
+        min(when(col(c).isNull, lit(true)).otherwise(col(c).rlike(DateTimeRe)))
+          .as(s"${c}__t"),
+        max(coalesce(col(c).rlike(DateTimeRe), lit(false))).as(s"${c}__tAny"))
     }
     val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).head()
+    // an empty DataFrame aggregates to NULL mins — treat as "no evidence"
+    def isTrue(n: String): Boolean =
+      java.lang.Boolean.TRUE.equals(row.getAs[Any](n))
     strCols.foldLeft(df) { (d, c) =>
-      if (row.getAs[Boolean](s"${c}__d")) d.withColumn(c, to_date(col(c)))
-      else if (row.getAs[Boolean](s"${c}__t"))
+      if (isTrue(s"${c}__d") && isTrue(s"${c}__dAny"))
+        d.withColumn(c, to_date(col(c)))
+      else if (isTrue(s"${c}__t") && isTrue(s"${c}__tAny"))
         d.withColumn(c, to_timestamp(regexp_replace(col(c), "T", " ")))
       else d
     }

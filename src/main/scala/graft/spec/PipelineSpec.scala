@@ -14,8 +14,21 @@ final case class SourceSpec(
     path: String = "",
     topic: String = "",
     codec: String = "json",
+    // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
+    // decoded by `codec` — the draethos kafka+json shape, with DLQ)
+    format: String = "parquet",
+    // "availableNow" (replay to end-of-log, exit) or "processingTime=<N>ms"
+    // (tail forever ≙ the reference's poll loop, kafka.go:84)
+    trigger: String = "availableNow",
     maxFilesPerTrigger: Int = 2,
-    configurations: Map[String, String] = Map.empty)
+    configurations: Map[String, String] = Map.empty) {
+
+  /** Tail interval in ms when trigger is processingTime, else None. */
+  def processingTimeMs: Option[Long] = trigger match {
+    case PipelineSpec.ProcessingTimeRe(n) => Some(n.toLong)
+    case _ => None
+  }
+}
 
 final case class TargetSpec(
     tpe: String, // lake | files
@@ -44,6 +57,8 @@ object PipelineSpec {
   val SourceTypes: Set[String] = Set("changelog", "csv", "jsonl")
   val TargetTypes: Set[String] = Set("lake", "files")
   val Codecs: Set[String] = Set("json", "yaml", "xml")
+  val SourceFormats: Set[String] = Set("parquet", "jsonl")
+  private[spec] val ProcessingTimeRe = "processingTime=(\\d+)(?:ms)?".r
 
   /** Parse + validate a pipeline YAML. Unknown source/target/codec types
     * throw, mirroring `context/source.go:48-50` / `context/target.go:35-37`
@@ -84,11 +99,25 @@ object PipelineSpec {
     val codec = str(sp, "codec").getOrElse("json")
     if (!Codecs(codec))
       throw new IllegalArgumentException(s"codec $codec not implemented")
+    val format = str(sp, "format").getOrElse("parquet")
+    if (!SourceFormats(format))
+      throw new IllegalArgumentException(s"source format $format not implemented")
+    // fail fast on spec combinations that cannot be honored (rather than
+    // silently ignoring fields like the reference's dead flushInMilliseconds)
+    if (format == "jsonl" && codec != "json")
+      throw new IllegalArgumentException(
+        s"jsonl changelog requires codec json, got $codec")
+    val trigger = str(sp, "trigger").getOrElse("availableNow")
+    if (trigger != "availableNow" && ProcessingTimeRe.findFirstIn(trigger).isEmpty)
+      throw new IllegalArgumentException(
+        s"trigger $trigger not implemented (availableNow | processingTime=<N>ms)")
     SourceSpec(
       tpe = tpe,
       path = str(sp, "path").getOrElse(""),
       topic = str(sp, "topic").getOrElse(""),
       codec = codec,
+      format = format,
+      trigger = trigger,
       maxFilesPerTrigger = int(sp, "maxFilesPerTrigger").getOrElse(2),
       configurations = strMap(sp, "configurations"))
   }

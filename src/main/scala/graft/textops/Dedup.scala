@@ -142,39 +142,64 @@ object Dedup {
 
   // -- SimHash -----------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens, expression-only: per bit b, sum of
-    * ±1 over token hashes' bit b; fingerprint bit = sign. Uses one
-    * `aggregate` accumulating a 64-long vector with `zip_with` — stays in
-    * codegen, no UDF, no shuffle.
+  /** SimHash bit width. 60 bits = two 30-bit md5-prefix halves; staying
+    * below bit 62 keeps every shift/OR exact in signed i64 on both Spark
+    * and any SQL oracle engine (no sign-bit or ANSI-overflow edge).
     */
-  def simhash(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))): _*),
-        (a, v) => a + v))
-    (0 until 64).map(b =>
-        when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b)).as("simhash")
+  val SimhashBits = 60
+
+  /** Token fingerprint halves: the numeric value of md5(token) hex chars
+    * 1-15 (resp. 16-30) — a 60-bit Rabin-style token fingerprint (SimHash
+    * over polynomial fingerprints is the classic Manku et al. setup).
+    * md5 + conv are codegen'd Spark expressions AND bit-for-bit
+    * reproducible in ANSI SQL (fold over hex chars), which makes the
+    * whole operator oracle-checkable cross-engine.
+    */
+  private def tokHashLo(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+  private def tokHashHi(t: Column): Column =
+    conv(substring(md5(t), 16, 15), 16, 10).cast("long")
+
+  /** SimHash fingerprints for a corpus: per bit b, sum of ±1 over token
+    * occurrences' bit b; fingerprint bit = sign(sum) > 0. Shape: explode
+    * tokens → 60 codegen'd conditional sums (one shuffle with map-side
+    * partial aggregation — the same scale-friendly shape as
+    * `minhashSignatures`; an `aggregate()` fold would be interpreted).
+    * Docs with zero tokens get fingerprint 0 via the left join.
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")).as("t"))
+      .select(col("id"), tokHashLo(col("t")).as("lo"), tokHashHi(col("t")).as("hi"))
+    val votes = toks.groupBy("id").agg(
+      bitVote(col("lo"), 0).as("s0"),
+      ((1 until 30).map(b => bitVote(col("lo"), b).as(s"s$b")) ++
+       (30 until SimhashBits).map(b => bitVote(col("hi"), b - 30).as(s"s$b"))): _*)
+    val fp = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.select(col(idCol).as("id"))
+      .join(votes.select(col("id"), fp.as("__fp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__fp"), lit(0L)).as("simhash"))
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  private def bitVote(h: Column, b: Int): Column =
+    sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+
+  /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters (a pair
-    * within Hamming distance ≤ 3 of 64 bits must agree on at least one
-    * quarter — pigeonhole), join within buckets, verify Hamming ≤ maxDist.
+  /** SimHash near-dup pairs: bucket by the 4 15-bit quarters (a pair
+    * within Hamming distance ≤ 3 of 60 bits must agree on at least one
+    * quarter — pigeonhole, so candidate generation has recall 1 for
+    * maxDist ≤ 3), join within buckets, verify Hamming ≤ maxDist.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val f = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val f = simhashDf(df, idCol, textCol).toDF("id", "sh")
     val quarters = f.select(col("id"), col("sh"), posexplode(array(
       (0 until 4).map(q =>
-        shiftright(col("sh"), q * 16).bitwiseAND(0xffffL)): _*)))
+        shiftright(col("sh"), q * 15).bitwiseAND(0x7fffL)): _*)))
       .toDF("id", "sh", "q", "qv")
     val l = quarters.toDF("id_a", "sh_a", "q", "qv")
     val r = quarters.toDF("id_b", "sh_b", "q", "qv")
@@ -182,7 +207,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(hamming(col("sh_a"), col("sh_b")) <= maxDist)
       .select("id_a", "id_b").distinct()
-      .withColumn("method", lit("simhash"))
   }
 
   // -- n-gram Jaccard via inverted index ----------------------------------------
@@ -198,9 +222,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    val filtered = posts.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= maxDocFreq)
+    // doc-frequency cap via partial-aggregated groupBy + broadcast
+    // anti-join, NOT a window: count().over(partitionBy(g)) would shuffle
+    // every posting of a stop-ngram to ONE task before the cap can drop
+    // it — the exact skew the cap exists to avoid. groupBy combines
+    // map-side; the heavy-hitter set is ≤ postings/maxDocFreq keys, tiny.
+    val heavy = posts.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("g")
+    val filtered = posts.join(broadcast(heavy), Seq("g"), "left_anti")
     val l = filtered.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
     val r = filtered.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
     l.join(r, Seq("g"))

@@ -73,13 +73,49 @@ class DedupOpsSpec extends SparkSpec {
     val base = "spark streaming merge commit offset snapshot schema buffer flush upsert replay"
     val near = base + " extra"
     val far = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"
-    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far), (5L, ""))
       .toDF("doc_id", "text")
-    val f = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val f = Dedup.simhashDf(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(f(1L) === f(2L))
-    assert(java.lang.Long.bitCount(f(1L) ^ f(3L)) <= 12)
-    assert(java.lang.Long.bitCount(f(1L) ^ f(4L)) > 12)
+    // near: one extra token flips few vote signs; far: ~independent
+    // fingerprints, expected distance ≈ 30 of 60 bits
+    assert(java.lang.Long.bitCount(f(1L) ^ f(3L)) <= 16)
+    assert(java.lang.Long.bitCount(f(1L) ^ f(4L)) > 20)
+    // zero-token docs keep a row with fingerprint 0
+    assert(f(5L) === 0L)
+    // fingerprint matches a reference implementation of the md5-prefix
+    // vote-sign construction (guards the cross-engine oracle contract)
+    def ref(text: String): Long = {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val votes = new Array[Long](Dedup.SimhashBits)
+      toks.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val lo = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val hi = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+        (0 until Dedup.SimhashBits).foreach { b =>
+          val bit = if (b < 30) (lo >> b) & 1L else (hi >> (b - 30)) & 1L
+          votes(b) += (if (bit == 1L) 1L else -1L)
+        }
+      }
+      (0 until Dedup.SimhashBits)
+        .map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+    }
+    assert(f(1L) === ref(base))
+    assert(f(4L) === ref(far))
+  }
+
+  test("simhash near-dups: pigeonhole buckets find all pairs within maxDist") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = Seq((1L, base), (2L, base), (3L, base + " lambda"),
+      (4L, "unrelated words entirely disjoint from the others completely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> distance 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("ngram jaccard pairs: known overlap") {

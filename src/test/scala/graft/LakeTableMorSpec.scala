@@ -1,0 +1,108 @@
+package graft
+
+import graft.envelope.ChangeEvent
+import graft.lake.LakeTable
+import org.apache.spark.sql.types.StructType
+
+/** Merge-on-read mechanics of the LakeTable: delta appends leave old
+  * files in place (no copy-on-write rewrite of touched buckets), the
+  * compaction budget bounds per-bucket file counts, and the equal-lsn
+  * delete/upsert tie-break is batching-independent (delete wins in both
+  * the within-batch winner window and the cross-file resolve).
+  */
+class LakeTableMorSpec extends SparkSpec {
+
+  private val baseDdl =
+    "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+
+  private def ev(lsn: Long, op: String, key: Int): ChangeEvent =
+    ChangeEvent(lsn, op, new java.sql.Timestamp(0), s"r${key % 3}",
+      s"p$key", f"c$lsn%040d", "scala", s"content-$lsn-k$key", Map.empty)
+
+  test("merge appends deltas; prior files persist until the budget rewrites them") {
+    import spark.implicits._
+    val dir = tmpDir("mor-delta")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2,
+      maxFilesPerBucket = 3)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+
+    lake.merge(Seq(ev(1, "insert", 1), ev(2, "insert", 2)).toDS().toDF(), "t", 0L)
+    val v1Files = lake.currentSnapshot.get.files
+    assert(v1Files.values.flatten.forall(_.startsWith("data/v1/delta/")))
+
+    lake.merge(Seq(ev(3, "update", 1)).toDS().toDF(), "t", 1L)
+    val v2 = lake.currentSnapshot.get
+    // the touched bucket keeps its v1 file AND gains a v2 delta — no
+    // copy-on-write rewrite below the budget
+    val v2All = v2.files.values.flatten.toSeq
+    assert(v1Files.values.flatten.forall(v2All.contains),
+      "delta merge must not drop or rewrite prior files under budget")
+    assert(v2All.exists(_.startsWith("data/v2/delta/")))
+
+    // read resolves the max-lsn winner across delta files
+    val rows = lake.read().select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(rows(("r1", "p1")) === "content-3-k1")
+    assert(rows(("r2", "p2")) === "content-2-k2")
+  }
+
+  test("compaction budget bounds per-bucket file counts across many merges") {
+    import spark.implicits._
+    val dir = tmpDir("mor-budget")
+    val budget = 3
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2,
+      maxFilesPerBucket = budget)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    (0 until 12).foreach { i =>
+      // every batch touches the same keys -> same buckets keep growing
+      lake.merge(Seq(ev(100 + i, "update", 1), ev(200 + i, "update", 2),
+        ev(300 + i, if (i % 4 == 3) "delete" else "update", 3))
+        .toDS().toDF(), "t", i.toLong)
+      val counts = lake.currentSnapshot.get.files.view.mapValues(_.size)
+      assert(counts.values.forall(_ <= budget),
+        s"bucket over budget at batch $i: ${counts.toMap}")
+    }
+    // final state is still the max-lsn winner per key, tombstone dropped
+    val rows = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("p1") === "content-111-k1")
+    assert(rows("p2") === "content-211-k2")
+    assert(!rows.contains("p3")) // last op at lsn 311 was a delete
+    // tombstone survives compaction (only compact(dropTombstones) GCs it)
+    assert(lake.readMeta().filter("path = 'p3'").count() === 1L)
+  }
+
+  test("equal-lsn delete/upsert pair resolves the same for any batching") {
+    import spark.implicits._
+    def finalKeys(batches: Seq[Seq[ChangeEvent]]): Set[String] = {
+      val dir = tmpDir("mor-tie")
+      val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+      lake.createIfAbsent(StructType.fromDDL(baseDdl))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        lake.merge(b.toDS().toDF(), "t", i.toLong)
+      }
+      lake.read().select("path").collect().map(_.getString(0)).toSet
+    }
+    val up = ev(7, "update", 5)
+    val del = up.copy(op = "delete", content = "")
+    // same batch, delete first / upsert first, and split across batches in
+    // both orders — delete must win everywhere
+    assert(finalKeys(Seq(Seq(up, del))) === Set.empty)
+    assert(finalKeys(Seq(Seq(del, up))) === Set.empty)
+    assert(finalKeys(Seq(Seq(up), Seq(del))) === Set.empty)
+    assert(finalKeys(Seq(Seq(del), Seq(up))) === Set.empty)
+  }
+
+  test("time travel resolves winners as of the requested version") {
+    import spark.implicits._
+    val dir = tmpDir("mor-tt")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge(Seq(ev(1, "insert", 1)).toDS().toDF(), "t", 0L)
+    lake.merge(Seq(ev(2, "update", 1)).toDS().toDF(), "t", 1L)
+    assert(lake.readVersion(1).select("content").head().getString(0)
+      === "content-1-k1")
+    assert(lake.readVersion(2).select("content").head().getString(0)
+      === "content-2-k1")
+  }
+}
