@@ -22,14 +22,19 @@ object Main {
   private def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // RocksDB keyed state by default (BENCH.md "State store"): bounded
+    // memory at any key cardinality; SPARK_GRAFT_STATE_STORE=hdfs opts out
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -180,7 +185,7 @@ object Main {
         }
       case "csv" =>
         val df = graft.sources.Sources.csv(spark, spec.instance.source.path)
-        writeBatchTarget(df, spec)
+        batchTarget(spark, df, spec, args)
       case "jsonl" =>
         val src = spec.instance.source.path
         val schema = graft.sources.Sources.inferJsonlSchema(spark, src)
@@ -192,11 +197,46 @@ object Main {
             println(s"[graft] routed $nBad malformed lines to DLQ $dlq")
           }
         }
-        writeBatchTarget(good, spec)
+        batchTarget(spark, good, spec, args)
       case t =>
         System.err.println(s"source type $t not implemented"); sys.exit(2)
     }
     spark.stop()
+  }
+
+  private def batchTarget(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, spec: PipelineSpec,
+      args: Array[String]): Unit =
+    if (spec.instance.target.tpe == "lake") {
+      val bid = flag(args, "--batch-id").map(_.toLong).getOrElse(0L)
+      val st = importBatch(spark, df, spec, bid)
+      if (st.skippedAsApplied)
+        println(s"[graft] import batch $bid already applied (exactly-once no-op)")
+      else
+        println(s"[graft] import batch $bid: ${st.upserted} rows upserted into " +
+          s"${spec.instance.target.path} (table version ${st.version})")
+    } else writeBatchTarget(df, spec)
+
+  /** Batch import into the lake ≙ the reference's CSV/JSONL → pgsql/mysql
+    * upsert examples (`examples/example-4`): each row keyed by the spec's
+    * keyColumns (e.g. the md5 `__key`), applied as one idempotent MERGE
+    * commit. `batchId` doubles as the LSN, so re-running the same import
+    * is a no-op (exactly-once ledger) and a later import (higher
+    * --batch-id) wins per key — REPLACE-INTO semantics.
+    */
+  private[graft] def importBatch(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, spec: PipelineSpec,
+      batchId: Long): graft.lake.MergeStats = {
+    val t = spec.instance.target
+    require(t.keyColumns.forall(df.columns.contains),
+      s"keyColumns ${t.keyColumns.mkString(",")} not all present in " +
+        s"source columns ${df.columns.mkString(",")}")
+    val lake = graft.lake.LakeTable(spark, t.path, t.keyColumns, t.numBuckets)
+    lake.createIfAbsent(df.schema)
+    val batch = df
+      .withColumn("lsn", lit(batchId))
+      .withColumn("op", lit("insert"))
+    lake.merge(batch, spec.name, batchId)
   }
 
   private def writeBatchTarget(df: org.apache.spark.sql.DataFrame,

@@ -30,9 +30,16 @@ final case class KeyProgress(maxEmittedLsn: Long)
   *
   * State is hash-partitioned by key (shuffle #1 of the pipeline) and
   * checkpointed by the engine — resume-safe. At 10^10 scale the state is
-  * one Long per live key; RocksDB state store + watermark-based TTL would
-  * bound it (here: in-memory HDFS store, unbounded at test scale —
-  * explicit trade-off, SURVEY.md §7 risk 2).
+  * one Long per live key; bench/CLI sessions run the **RocksDB state
+  * store provider** (off-heap, spills to executor-local disk), so state
+  * size is bounded by disk, not heap — measured in BENCH.md ("State
+  * store"): the on-heap HDFS provider additionally failed to scale with
+  * cores. Remaining trade-off, deliberately NOT taken: a watermark/TTL
+  * (`GroupStateTimeout`) would cap state for abandoned keys but would
+  * re-admit a stale duplicate arriving after the timeout; the lake's
+  * monotone merge would still converge (tombstones + max-__lsn resolve),
+  * so a TTL is safe to enable when key cardinality demands it — it costs
+  * only extra idempotent rows, never correctness.
   */
 object LsnDedup {
 
@@ -42,11 +49,47 @@ object LsnDedup {
 
   def apply(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
     implicit val evEnc: Encoder[ChangeEvent] = ChangeEvent.encoder
-    events
+    preCombine(events)
       .groupByKey(e => (e.repo, e.path))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         dedupGroup)
   }
+
+  /** Partition-local pre-reduce (map-side combiner): keep only each key's
+    * winner within an input partition before the key shuffle. Winner-max
+    * is associative/commutative, so this never changes what dedupGroup
+    * emits — it just cuts shuffle volume and per-event state-store work
+    * by the duplication factor (large under Zipf-hot keys). The map is
+    * capacity-capped and flushed so task memory stays bounded at any
+    * scale (a flush only means some extra rows shuffle — still correct).
+    */
+  private[graft] def preCombine(events: Dataset[ChangeEvent],
+      cap: Int = 1 << 16): Dataset[ChangeEvent] = {
+    implicit val evEnc: Encoder[ChangeEvent] = ChangeEvent.encoder
+    events.mapPartitions { it =>
+      val m = new java.util.HashMap[(String, String), ChangeEvent](1 << 12)
+      val flushed = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      it.foreach { e =>
+        val k = (e.repo, e.path)
+        val cur = m.get(k)
+        if (cur == null || beats(e, cur)) m.put(k, e)
+        if (m.size > cap) {
+          m.values.forEach(v => { flushed += v; () })
+          m.clear()
+        }
+      }
+      m.values.forEach(v => { flushed += v; () })
+      flushed.iterator
+    }
+  }
+
+  /** Winner order: higher lsn wins; on an equal-lsn tie the delete wins —
+    * the same tie-break as the lake's merge/resolve windows, so the dedup
+    * layer can never mask a tombstone the merge would have preferred.
+    */
+  private def beats(a: ChangeEvent, b: ChangeEvent): Boolean =
+    a.lsn > b.lsn ||
+      (a.lsn == b.lsn && a.op == ChangeEvent.Delete && b.op != ChangeEvent.Delete)
 
   /** Batch analog (for tests / batch replay): same semantics, no state. */
   def batch(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
@@ -54,11 +97,15 @@ object LsnDedup {
     events.groupByKey(e => (e.repo, e.path)).flatMapGroups {
       (_: (String, String), it: Iterator[ChangeEvent]) =>
         var last = Long.MinValue
-        it.toArray.sortBy(_.lsn).iterator.filter { e =>
-          val keep = e.lsn > last
-          if (keep) last = e.lsn
-          keep
-        }
+        var lastDelete = false
+        it.toArray
+          .sortBy(e => (e.lsn, if (e.op == ChangeEvent.Delete) 1 else 0))
+          .iterator.filter { e =>
+            val del = e.op == ChangeEvent.Delete
+            val keep = e.lsn > last || (e.lsn == last && del && !lastDelete)
+            if (keep) { last = e.lsn; lastDelete = del }
+            keep
+          }
     }
   }
 
@@ -66,6 +113,12 @@ object LsnDedup {
     * new LSN. Intermediate events within a batch can never surface in the
     * lake (last-write-wins), so emitting only the winner halves-or-better
     * the merge-shuffle volume on hot keys without changing convergence.
+    *
+    * Equal-LSN corner (LSNs are normally unique per logical event): a
+    * delete at the current max LSN is still emitted — letting it through
+    * costs one idempotent row, while suppressing it could mask a
+    * tombstone the lake's delete-wins tie-break would have preferred,
+    * making final state depend on batching.
     */
   private[graft] def dedupGroup(
       key: (String, String),
@@ -75,10 +128,13 @@ object LsnDedup {
     var winner: ChangeEvent = null
     var max = already
     events.foreach { e =>
-      if (e.lsn > max) { max = e.lsn; winner = e }
+      val beats = e.lsn > max ||
+        (e.lsn == max && e.op == ChangeEvent.Delete &&
+          (winner == null || winner.op != ChangeEvent.Delete))
+      if (beats) { max = e.lsn; winner = e }
     }
-    if (max > already) {
-      state.update(KeyProgress(max))
+    if (winner != null) {
+      if (max > already) state.update(KeyProgress(max))
       Iterator.single(winner)
     } else Iterator.empty
   }

@@ -184,12 +184,10 @@ class LakeTable(
 
   /** Read including the internal meta columns: the MOR resolve — one
     * winner per key (max `__lsn`, tombstones included so callers can see
-    * deletions). Buckets holding a single (already-compacted) file skip
-    * the resolve shuffle at the plan level only when there is nothing to
-    * merge at all (files.size == buckets with one file each is still
-    * resolved — a single merge commit can write one file per bucket with
-    * multiple rows per key only via equal-lsn dupes, which resolve() also
-    * collapses; correctness first, the window is one shuffle).
+    * deletions). Always resolves, even when every bucket holds one file:
+    * correctness first — the resolve is a single key-partitioned window
+    * over live rows, and the compaction budget keeps the multi-file
+    * amplification it pays for bounded.
     */
   def readMeta(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame

@@ -167,7 +167,13 @@ object ChangeLogGenerator {
       .withColumn("seg", format_string("%05d", (col("pos") / per).cast("int")))
       .select(col("seg"), col("ev.*"))
       .repartition(cfg.numSegments, col("seg"))
-      .write.mode(SaveMode.Overwrite).partitionBy("seg").parquet(dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("seg")
+      // 16 MB row groups: parquet splits can't be finer than a row group,
+      // and a tailing reader's per-batch scan parallelism is bounded by
+      // splits-per-batch — default 128 MB groups would cap it at ~1 task
+      // per segment file
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .parquet(dir)
     // Stamp per-segment file mtimes in segment order (file source orders by
     // modification time); also drop the _SUCCESS marker from the stream dir.
     val root = new java.io.File(dir)

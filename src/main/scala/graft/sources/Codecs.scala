@@ -36,6 +36,24 @@ object Codecs {
   def encodeJson(cols: Column): Column = to_json(cols)
   def encodeXml(cols: Column): Column = to_xml(cols)
 
+  /** YAML record encode: map column → one YAML document per row
+    * (≙ `internal/codec/yaml.go:25-33` Marshal). Typed-map path like the
+    * decoder; used by batch exports only, never on the streaming hot path.
+    */
+  def mapToYaml(df: DataFrame, mapCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val rendered = df.select(col(mapCol)).as[Map[String, String]]
+      .mapPartitions { it =>
+        val yaml = new org.yaml.snakeyaml.Yaml()
+        it.map { m =>
+          val jm = new java.util.LinkedHashMap[String, Object]()
+          m.toSeq.sortBy(_._1).foreach { case (k, v) => jm.put(k, v) }
+          yaml.dump(jm)
+        }
+      }
+    rendered.toDF("yaml")
+  }
+
   /** YAML record decode: one YAML document per row → MapType columns.
     * Typed-map path (snakeyaml is JVM-side, no SQL expression exists).
     */

@@ -42,6 +42,46 @@ class DedupOpsSpec extends SparkSpec {
     assert(late.isEmpty, "stale insert after delete must be dropped")
   }
 
+  test("equal-lsn delete passes dedup so the lake tie-break can apply") {
+    // state already emitted lsn 7 (an upsert); a delete at the SAME lsn
+    // must still flow downstream — the lake's delete-wins tie-break makes
+    // final state batching-independent only if it sees the tombstone
+    val state = new TestGroupState(Some(graft.dedup.KeyProgress(7L)))
+    val out = LsnDedup.dedupGroup(("r", "a"),
+      Iterator(ev(7, "delete", "r", "a", "")), state).toSeq
+    assert(out.map(e => (e.lsn, e.op)) === Seq((7L, "delete")))
+    // ...but an equal-lsn upsert redelivery stays suppressed
+    val dup = LsnDedup.dedupGroup(("r", "a"),
+      Iterator(ev(7, "update", "r", "a", "v")), state).toSeq
+    assert(dup.isEmpty)
+    // within one group-batch, delete wins the equal-lsn pair
+    val both = LsnDedup.dedupGroup(("r", "b"),
+      Iterator(ev(3, "update", "r", "b", "v"), ev(3, "delete", "r", "b", "")),
+      new TestGroupState(None)).toSeq
+    assert(both.map(_.op) === Seq("delete"))
+  }
+
+  test("preCombine: per-partition winners only, capped map still correct") {
+    import spark.implicits._
+    val events = (0 until 5000).map { i =>
+      ev(i.toLong, if (i % 7 == 3) "delete" else "update", "r", s"p${i % 11}",
+        s"v$i")
+    } :+ ev(4999L, "delete", "r", "p3x", "") :+ ev(4999L, "update", "r", "p3x", "v")
+    val ds = events.toDS().repartition(2)
+    val combined = LsnDedup.preCombine(ds, cap = 64).collect()
+    // per key, the global winner must survive somewhere in the output
+    val winners = combined.groupBy(e => (e.repo, e.path)).map { case (k, es) =>
+      k -> es.maxBy(e => (e.lsn, if (e.op == "delete") 1 else 0))
+    }
+    assert(winners(("r", "p3x")).op === "delete") // equal-lsn tie: delete wins
+    (0 until 11).foreach { p =>
+      val maxLsn = events.filter(e => e.path == s"p$p").map(_.lsn).max
+      assert(winners(("r", s"p$p")).lsn === maxLsn)
+    }
+    // the combiner reduced volume (5002 in, far fewer out)
+    assert(combined.length < events.size)
+  }
+
   test("exact dedup keeps min-id per identical text") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

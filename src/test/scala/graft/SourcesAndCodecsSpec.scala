@@ -68,13 +68,41 @@ class SourcesAndCodecsSpec extends SparkSpec {
     }
   }
 
-  test("yaml typed-map decode") {
+  test("yaml typed-map decode and encode round-trip") {
     import spark.implicits._
     val df = Seq("a: 1\nb: two", "c: 3.5").toDF("raw")
     val out = Codecs.yamlToMap(df, "raw").collect()
       .map(_.getMap[String, String](0))
     assert(out(0).get("a").contains("1") && out(0).get("b").contains("two"))
     assert(out(1).get("c").contains("3.5"))
+    // encode → decode round-trips the map
+    val m = Seq(Map("k1" -> "v1", "k2" -> "v2")).toDF("record")
+    val y = Codecs.mapToYaml(m, "record")
+    val back = Codecs.yamlToMap(y, "yaml").head().getMap[String, String](0)
+    assert(back.get("k1").contains("v1") && back.get("k2").contains("v2"))
+  }
+
+  test("batch import into the lake: keyed upsert, idempotent, later batch wins") {
+    import spark.implicits._
+    val dir = tmpDir("imp")
+    val spec = graft.spec.PipelineSpec.fromYaml(
+      s"""stream:
+         |  name: imp-test
+         |  instance:
+         |    source: { type: csv, specs: { path: unused } }
+         |    target: { type: lake, specs: { path: $dir/lake, keyColumns: [k], numBuckets: 4 } }
+         |""".stripMargin)
+    val df1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val st1 = graft.Main.importBatch(spark, df1, spec, 0L)
+    assert(st1.upserted === 2L)
+    // re-running the same batch id is an exactly-once no-op
+    assert(graft.Main.importBatch(spark, df1, spec, 0L).skippedAsApplied)
+    // a later batch (higher id = higher lsn) REPLACEs per key
+    val df2 = Seq(("b", 20L), ("c", 3L)).toDF("k", "v")
+    graft.Main.importBatch(spark, df2, spec, 1L)
+    val lake = graft.lake.LakeTable(spark, s"$dir/lake")
+    val rows = lake.read().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
   }
 
   test("jsonlSplit: malformed lines split off with their raw text") {
