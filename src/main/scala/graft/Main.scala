@@ -80,17 +80,22 @@ object Main {
     """stream:
       |  name: my-pipeline
       |  checkpointDir: /data/ckpt
+      |  port: 8080                   # http source server port (0 = ephemeral)
       |  instance:
       |    source:
-      |      type: changelog          # changelog | csv | jsonl
+      |      type: changelog          # changelog | csv | jsonl | http
       |      specs:
-      |        path: /data/log
+      |        path: /data/log        # http: the spool dir the webhook writes
       |        format: parquet        # parquet (typed segments) | jsonl (raw text + codec, DLQ-able)
       |        codec: json            # json | yaml | xml (jsonl format requires json)
       |        trigger: availableNow  # availableNow (replay+exit) | processingTime=500ms (tail)
       |        maxFilesPerTrigger: 8
+      |        # http source only:
+      |        # endpoint: /ingest
+      |        # methods: [GET, POST]
+      |        # batchSize: 100       # spool segment flush threshold
       |    target:
-      |      type: lake               # lake | files
+      |      type: lake               # lake | files | jdbc
       |      specs:
       |        path: /data/lake
       |        keyColumns: [repo, path]
@@ -99,12 +104,17 @@ object Main {
       |        # the prefix template; default codec writes parquet
       |        # codec: json
       |        # prefix: "%{YEAR}/%{MONTH}/%{DAY}/%{HOUR}/"
+      |        # jdbc target only (streaming CDC apply or batch import):
+      |        # url: jdbc:derby:/data/db;create=true
+      |        # table: repos
+      |        # mode: replace        # replace (last-write-wins) | insertIfAbsent
       |    dlq:
       |      type: files
       |      specs:
       |        path: /data/dlq
       |# CLI: graft start -f pipeline.yaml [--verify-oracle]
       |#         [--follow [--interval-ms N]] [--idle-timeout-ms N]
+      |#         [--batch-id N]   (batch imports: idempotence ledger key)
       |""".stripMargin)
 
   private def start(args: Array[String]): Unit = {
@@ -116,73 +126,24 @@ object Main {
     val spark = session(s"graft-${spec.name}")
     spec.instance.source.tpe match {
       case "changelog" =>
-        require(spec.instance.target.tpe == "lake",
-          s"changelog source requires lake target, got ${spec.instance.target.tpe}")
-        val dlqDir = spec.instance.dlq.map(_.path).filter(_.nonEmpty)
-        require(dlqDir.isEmpty || spec.instance.source.format == "jsonl",
-          "dlq configured but source format is parquet (typed segments " +
-            "cannot produce malformed records); set source format: jsonl")
-        val cfg = CdcJobConfig(
-          logDir = spec.instance.source.path,
-          tablePath = spec.instance.target.path,
-          checkpointDir =
-            if (spec.checkpointDir.nonEmpty) spec.checkpointDir
-            else spec.instance.target.path + "/_checkpoint",
-          dlqDir = dlqDir,
-          keyCols = spec.instance.target.keyColumns,
-          numBuckets = spec.instance.target.numBuckets,
-          maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
-          format = spec.instance.source.format,
-          checkpointId = spec.name)
-        val job = CdcJob(spark, cfg)
-        // tailing: spec trigger processingTime=<N>ms, or CLI --follow
-        // [--interval-ms N]; --idle-timeout-ms N stops after that long
-        // without new data (catch-up-then-exit; also the e2e-test hook)
-        val followMs: Option[Long] = spec.instance.source.processingTimeMs
-          .orElse(if (args.contains("--follow"))
-            Some(flag(args, "--interval-ms").map(_.toLong).getOrElse(500L))
-          else None)
-        val idleMs = flag(args, "--idle-timeout-ms").map(_.toLong)
-        val t0 = System.nanoTime()
-        val stats = followMs match {
-          case Some(ms) => job.runFollowing(ms, idleMs)
-          case None => job.runToCompletion()
-        }
-        val secs = (System.nanoTime() - t0) / 1e9
-        val applied = stats.filterNot(_.skippedAsApplied)
-        val events = applied.map(_.inputRows).sum
-        val table = job.lake.read()
-        println(f"[graft] replay done: ${applied.size} micro-batches, " +
-          f"$events events applied in $secs%.1f s " +
-          f"(${events / math.max(secs, 1e-9)}%.0f events/s)")
-        println(s"[graft] lake version=${job.lake.currentVersion.getOrElse(-1L)} " +
-          s"rows=${table.count()} schema=[${job.lake.schema.fieldNames.mkString(",")}]")
-        if (args.contains("--verify-oracle")) {
-          // independent one-batch reducer over the raw log vs table state
-          // read the partitioned log dir (not a glob — avoids the noisy
-          // FileStreamSink metadata probe) and drop the seg partition col
-          val raw = cfg.format match {
-            case "jsonl" =>
-              // parse the raw lines like the stream does; malformed lines
-              // (DLQ-bound) carry no envelope and drop out here too
-              spark.read.text(spec.instance.source.path + "/seg=*")
-                .withColumn("__p", from_json(col("value"),
-                  graft.envelope.ChangeEvent.schema))
-                .filter(col("__p.lsn").isNotNull && col("__p.op").isNotNull &&
-                  col("__p.repo").isNotNull && col("__p.path").isNotNull)
-                .select("__p.*")
-            case _ =>
-              spark.read.parquet(spec.instance.source.path).drop("seg")
-          }
-          val oracle = job.oracleOf(raw)
-          val got = table.select(col("repo"), col("path"),
-            sha2(col("content"), 256).as("sha"))
-          val want = oracle.select(col("repo"), col("path"),
-            sha2(col("content"), 256).as("sha"))
-          val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
-          println(s"[graft] oracle check: ${if (diff == 0) "CONVERGED" else s"DIVERGED ($diff rows)"}")
-          if (diff != 0) sys.exit(1)
-        }
+        runCdc(spark, spec, args, spec.instance.source.path,
+          spec.instance.source.format, httpServer = None)
+      case "http" =>
+        // push ingestion ≙ `internal/source/http.go`: the webhook server
+        // spools validated envelopes as jsonl segments; the streaming job
+        // tails the spool (necessarily in follow mode — push sources have
+        // no end-of-log)
+        val spool = spec.instance.source.path
+        require(spool.nonEmpty, "http source requires specs.path (spool dir)")
+        val server = graft.sources.HttpIngestServer(
+          spec.port, spec.instance.source.endpoint, spool,
+          spec.instance.source.methods.toSet, spec.instance.source.batchSize)
+        server.start()
+        println(s"[graft] http source listening on :${server.boundPort}" +
+          s"${spec.instance.source.endpoint} -> spool $spool")
+        try runCdc(spark, spec, args :+ "--follow", spool, "jsonl",
+          httpServer = Some(server))
+        finally server.stop()
       case "csv" =>
         val df = graft.sources.Sources.csv(spark, spec.instance.source.path)
         batchTarget(spark, df, spec, args)
@@ -204,6 +165,94 @@ object Main {
     spark.stop()
   }
 
+  /** The streaming CDC path: changelog (or http spool) → dedup → lake
+    * MERGE or JDBC upsert.
+    */
+  private def runCdc(spark: SparkSession, spec: PipelineSpec,
+      args: Array[String], logDir: String, format: String,
+      httpServer: Option[graft.sources.HttpIngestServer]): Unit = {
+        val tgt = spec.instance.target
+        require(tgt.tpe == "lake" || tgt.tpe == "jdbc",
+          s"streaming source requires lake or jdbc target, got ${tgt.tpe}")
+        val jdbcSink =
+          if (tgt.tpe == "jdbc")
+            Some(graft.sinks.JdbcUpsert.Config(tgt.url, tgt.table,
+              keyColumns = tgt.keyColumns, mode = tgt.mode))
+          else None
+        val dlqDir = spec.instance.dlq.map(_.path).filter(_.nonEmpty)
+        require(dlqDir.isEmpty || format == "jsonl",
+          "dlq configured but source format is parquet (typed segments " +
+            "cannot produce malformed records); set source format: jsonl")
+        val cfg = CdcJobConfig(
+          logDir = logDir,
+          tablePath = tgt.path,
+          checkpointDir =
+            if (spec.checkpointDir.nonEmpty) spec.checkpointDir
+            else if (tgt.tpe == "jdbc") logDir + "/_checkpoint"
+            else tgt.path + "/_checkpoint",
+          dlqDir = dlqDir,
+          keyCols = tgt.keyColumns,
+          numBuckets = tgt.numBuckets,
+          maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
+          format = format,
+          checkpointId = spec.name,
+          jdbcSink = jdbcSink)
+        val job = CdcJob(spark, cfg)
+        // tailing: spec trigger processingTime=<N>ms, or CLI --follow
+        // [--interval-ms N]; --idle-timeout-ms N stops after that long
+        // without new data (catch-up-then-exit; also the e2e-test hook)
+        val followMs: Option[Long] = spec.instance.source.processingTimeMs
+          .orElse(if (args.contains("--follow"))
+            Some(flag(args, "--interval-ms").map(_.toLong).getOrElse(500L))
+          else None)
+        val idleMs = flag(args, "--idle-timeout-ms").map(_.toLong)
+        val t0 = System.nanoTime()
+        val stats = followMs match {
+          case Some(ms) => job.runFollowing(ms, idleMs)
+          case None => job.runToCompletion()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val applied = stats.filterNot(_.skippedAsApplied)
+        val events = applied.map(_.inputRows).sum
+        println(f"[graft] replay done: ${applied.size} micro-batches, " +
+          f"$events events applied in $secs%.1f s " +
+          f"(${events / math.max(secs, 1e-9)}%.0f events/s)")
+        if (jdbcSink.isEmpty) {
+          val table = job.lake.read()
+          println(s"[graft] lake version=${job.lake.currentVersion.getOrElse(-1L)} " +
+            s"rows=${table.count()} schema=[${job.lake.schema.fieldNames.mkString(",")}]")
+        } else {
+          println(s"[graft] jdbc target ${tgt.table}: " +
+            s"${applied.map(_.upserted).sum} upserted, ${applied.map(_.deleted).sum} deleted")
+        }
+        if (args.contains("--verify-oracle") && jdbcSink.isEmpty) {
+          // independent one-batch reducer over the raw log vs table state
+          // read the partitioned log dir (not a glob — avoids the noisy
+          // FileStreamSink metadata probe) and drop the seg partition col
+          val raw = cfg.format match {
+            case "jsonl" =>
+              // parse the raw lines like the stream does; malformed lines
+              // (DLQ-bound) carry no envelope and drop out here too
+              spark.read.text(logDir + "/seg=*")
+                .withColumn("__p", from_json(col("value"),
+                  graft.envelope.ChangeEvent.schema))
+                .filter(col("__p.lsn").isNotNull && col("__p.op").isNotNull &&
+                  col("__p.repo").isNotNull && col("__p.path").isNotNull)
+                .select("__p.*")
+            case _ =>
+              spark.read.parquet(logDir).drop("seg")
+          }
+          val oracle = job.oracleOf(raw)
+          val got = job.lake.read().select(col("repo"), col("path"),
+            sha2(col("content"), 256).as("sha"))
+          val want = oracle.select(col("repo"), col("path"),
+            sha2(col("content"), 256).as("sha"))
+          val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+          println(s"[graft] oracle check: ${if (diff == 0) "CONVERGED" else s"DIVERGED ($diff rows)"}")
+          if (diff != 0) sys.exit(1)
+        }
+  }
+
   private def batchTarget(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, spec: PipelineSpec,
       args: Array[String]): Unit =
@@ -215,7 +264,7 @@ object Main {
       else
         println(s"[graft] import batch $bid: ${st.upserted} rows upserted into " +
           s"${spec.instance.target.path} (table version ${st.version})")
-    } else writeBatchTarget(df, spec)
+    } else writeBatchTarget(df, spec, args)
 
   /** Batch import into the lake ≙ the reference's CSV/JSONL → pgsql/mysql
     * upsert examples (`examples/example-4`): each row keyed by the spec's
@@ -240,7 +289,23 @@ object Main {
   }
 
   private def writeBatchTarget(df: org.apache.spark.sql.DataFrame,
-      spec: PipelineSpec): Unit = spec.instance.target.tpe match {
+      spec: PipelineSpec, args: Array[String] = Array.empty): Unit =
+    spec.instance.target.tpe match {
+    case "jdbc" =>
+      // CSV/JSONL → relational upsert ≙ the reference's file-importer
+      // examples (`examples/example-6`, csv → pgsql with md5 `__key`);
+      // --batch-id gives whole-import idempotence via the DB-side ledger
+      val t = spec.instance.target
+      val jcfg = graft.sinks.JdbcUpsert.Config(t.url, t.table,
+        keyColumns = t.keyColumns, mode = t.mode, batchSize = t.batchSize)
+      val bid = flag(args, "--batch-id").map(_.toLong).getOrElse(0L)
+      if (graft.sinks.JdbcUpsert.isApplied(t.url, spec.name, bid))
+        println(s"[graft] import batch $bid already applied (exactly-once no-op)")
+      else {
+        val n = graft.sinks.JdbcUpsert.write(df, jcfg)
+        graft.sinks.JdbcUpsert.recordApplied(t.url, spec.name, bid)
+        println(s"[graft] import batch $bid: $n rows upserted into jdbc ${t.table} (mode ${t.mode})")
+      }
     case "files" if spec.instance.target.codec == "json" =>
       // JSONL files laid out under the reference's S3 prefix template
       // (`internal/target/s3.go:205-235`); partition time = write wall

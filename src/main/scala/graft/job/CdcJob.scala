@@ -28,7 +28,11 @@ final case class CdcJobConfig(
     // + JSON codec, the draethos kafka+json shape — malformed lines DLQ)
     format: String = "parquet",
     // runId-agnostic identity of this pipeline for the exactly-once ledger
-    checkpointId: String = "cdc")
+    checkpointId: String = "cdc",
+    // when set, micro-batches upsert into a JDBC table (≙ the reference's
+    // kafka→pgsql/mysql pipelines) instead of the lake; the applied-batch
+    // ledger lives in the target database
+    jdbcSink: Option[graft.sinks.JdbcUpsert.Config] = None)
 
 /** The flagship job: tail the ordered change log with a Structured
   * Streaming file source, LSN-dedup per key via keyed state, and MERGE
@@ -43,7 +47,7 @@ final case class CdcJobConfig(
   */
 class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
 
-  val lake: LakeTable = LakeTable(spark, cfg.tablePath, cfg.keyCols, cfg.numBuckets)
+  lazy val lake: LakeTable = LakeTable(spark, cfg.tablePath, cfg.keyCols, cfg.numBuckets)
 
   /** Lake base schema = fixed envelope value columns (drift columns are
     * added by auto-ALTER as they appear).
@@ -70,7 +74,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
   /** Build (but do not await) the streaming query. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
-    lake.createIfAbsent(baseSchema)
+    if (cfg.jdbcSink.isEmpty) lake.createIfAbsent(baseSchema)
 
     val events: org.apache.spark.sql.Dataset[ChangeEvent] = cfg.format match {
       case "parquet" =>
@@ -114,12 +118,17 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeEvent], batchId: Long) =>
-        if (lake.isApplied(cfg.checkpointId, batchId)) {
+        val applied = cfg.jdbcSink match {
+          case Some(j) => graft.sinks.JdbcUpsert.isApplied(j.url, cfg.checkpointId, batchId)
+          case None => lake.isApplied(cfg.checkpointId, batchId)
+        }
+        if (applied) {
           // crash-replayed batch: skip the DLQ append too, so the DLQ is
           // exactly-once like the table (gating only the merge would
           // re-append the same bad rows on every replay)
-          stats.add(MergeStats(lake.currentVersion.getOrElse(-1L), batchId,
-            skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
+          stats.add(MergeStats(
+            if (cfg.jdbcSink.isDefined) -1L else lake.currentVersion.getOrElse(-1L),
+            batchId, skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
         } else {
           val good =
             if (cfg.format == "jsonl") {
@@ -134,11 +143,40 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
               }
               df.filter(col("op") =!= DlqOp)
             } else batch.toDF()
-          stats.add(lake.merge(good, cfg.checkpointId, batchId))
+          cfg.jdbcSink match {
+            case Some(j) =>
+              stats.add(applyJdbc(good, j, batchId))
+            case None =>
+              stats.add(lake.merge(good, cfg.checkpointId, batchId))
+          }
         }
         ()
       }
       .start()
+  }
+
+  /** JDBC micro-batch apply ≙ a reference pgsql/mysql Flush: lift drift
+    * fields out of `extra` into top-level columns (they become ALTERed
+    * columns, `pgsql.go:162-238`), then key-idempotent upsert + delete.
+    * The ledger row is recorded after the data commit — same
+    * sink-before-offsets order as the reference, exactly-once at batch
+    * granularity, residual overlap absorbed by key idempotence.
+    */
+  private def applyJdbc(batch: DataFrame, j: graft.sinks.JdbcUpsert.Config,
+      batchId: Long): MergeStats = {
+    val input = batch.localCheckpoint() // two passes (keys agg + write), one compute
+    val driftKeys: Seq[String] =
+      if (!input.columns.contains("extra")) Nil
+      else input
+        .select(explode(map_keys(coalesce(col("extra"), map()))).as("k"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val lifted = driftKeys.foldLeft(input) { (d, k) =>
+      d.withColumn(k, element_at(col("extra"), k))
+    }.drop("extra")
+    val n = input.count()
+    val (up, del) = graft.sinks.JdbcUpsert.applyCdcBatch(lifted, j)
+    graft.sinks.JdbcUpsert.recordApplied(j.url, cfg.checkpointId, batchId)
+    MergeStats(-1L, batchId, skippedAsApplied = false, n, up, del, 0, driftKeys)
   }
 
   /** A parsed jsonl line is a valid envelope iff the required fields came
@@ -172,16 +210,31 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         var lastData = System.nanoTime()
         var lastSeenBatch = -1L
         def idleExceeded = (System.nanoTime() - lastData) / 1e6 >= idle
+        // quiescent gate: never stop while a trigger is mid-flight or the
+        // source reports unprocessed data — stopping mid-batch is safe for
+        // the table (the uncommitted batch replays on resume) but would
+        // end a catch-up run before its data landed
+        def quiescent = !q.status.isTriggerActive && !q.status.isDataAvailable
         // `lastProgress != null` gate: never stop before the engine has
         // reported at least one (possibly empty) batch — a cold first
         // batch can take longer than the idle window
-        while (q.isActive && !(idleExceeded && q.lastProgress != null)) {
+        var stopping = false
+        while (q.isActive && !stopping) {
           val p = q.lastProgress
           if (p != null && p.batchId > lastSeenBatch && p.numInputRows > 0) {
             lastSeenBatch = p.batchId
             lastData = System.nanoTime()
           }
-          Thread.sleep(50)
+          if (idleExceeded && quiescent && p != null) {
+            // grace re-check before concluding the log is drained: files
+            // that landed in the last instants may not have been seen by
+            // a source poll yet — give the engine two more trigger
+            // intervals and only stop if still no data surfaced
+            Thread.sleep(math.max(2 * intervalMs, 1000L))
+            val p2 = q.lastProgress
+            val sawData = p2 != null && p2.batchId > lastSeenBatch && p2.numInputRows > 0
+            if (!sawData && quiescent) stopping = true
+          } else Thread.sleep(50)
         }
         if (q.isActive) q.stop()
         q.awaitTermination()

@@ -10,9 +10,14 @@ import scala.jdk.CollectionConverters._
   * `internal/context/target.go:21-38` — unknown types fail fast).
   */
 final case class SourceSpec(
-    tpe: String, // changelog | csv | jsonl
+    tpe: String, // changelog | csv | jsonl | http
     path: String = "",
     topic: String = "",
+    // http source only ≙ reference SourceSpecs endpoint/method
+    // (`stream.go:31-38`); `path` doubles as the spool dir
+    endpoint: String = "/ingest",
+    methods: Seq[String] = Seq("GET", "POST"),
+    batchSize: Int = 100, // http spool flush threshold ≙ target CanFlush
     codec: String = "json",
     // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
     // decoded by `codec` — the draethos kafka+json shape, with DLQ)
@@ -31,9 +36,12 @@ final case class SourceSpec(
 }
 
 final case class TargetSpec(
-    tpe: String, // lake | files
+    tpe: String, // lake | files | jdbc
     table: String = "",
     path: String = "",
+    // jdbc target only ≙ reference TargetSpecs database/configurations
+    url: String = "",
+    mode: String = "replace", // replace (mysql REPLACE) | insertIfAbsent (pgsql DO NOTHING)
     keyColumns: Seq[String] = Seq("repo", "path"),
     numBuckets: Int = 32,
     codec: String = "json",
@@ -50,12 +58,14 @@ final case class InstanceSpec(
 final case class PipelineSpec(
     name: String,
     checkpointDir: String,
+    // http server port ≙ reference `Base.Port` (`stream.go:8`); 0 = ephemeral
+    port: Int = 8080,
     instance: InstanceSpec)
 
 object PipelineSpec {
 
-  val SourceTypes: Set[String] = Set("changelog", "csv", "jsonl")
-  val TargetTypes: Set[String] = Set("lake", "files")
+  val SourceTypes: Set[String] = Set("changelog", "csv", "jsonl", "http")
+  val TargetTypes: Set[String] = Set("lake", "files", "jdbc")
   val Codecs: Set[String] = Set("json", "yaml", "xml")
   val SourceFormats: Set[String] = Set("parquet", "jsonl")
   private[spec] val ProcessingTimeRe = "processingTime=(\\d+)(?:ms)?".r
@@ -80,6 +90,7 @@ object PipelineSpec {
     PipelineSpec(
       name = str(stream, "name").getOrElse("pipeline"),
       checkpointDir = str(stream, "checkpointDir").getOrElse(""),
+      port = int(stream, "port").getOrElse(8080),
       instance = InstanceSpec(src, tgt, dlq))
   }
 
@@ -115,6 +126,9 @@ object PipelineSpec {
       tpe = tpe,
       path = str(sp, "path").getOrElse(""),
       topic = str(sp, "topic").getOrElse(""),
+      endpoint = str(sp, "endpoint").getOrElse("/ingest"),
+      methods = strSeq(sp, "methods", Seq("GET", "POST")).map(_.toUpperCase),
+      batchSize = int(sp, "batchSize").getOrElse(100),
       codec = codec,
       format = format,
       trigger = trigger,
@@ -128,10 +142,21 @@ object PipelineSpec {
     if (!TargetTypes(tpe))
       throw new IllegalArgumentException(s"target type $tpe not implemented")
     val sp = sub(t, "specs").getOrElse(t)
+    val mode = str(sp, "mode").getOrElse("replace")
+    if (tpe == "jdbc") {
+      if (!graft.sinks.JdbcUpsert.Modes(mode))
+        throw new IllegalArgumentException(s"jdbc mode $mode not implemented")
+      if (str(sp, "url").forall(_.isEmpty))
+        throw new IllegalArgumentException("jdbc target requires specs.url")
+      if (str(sp, "table").forall(_.isEmpty))
+        throw new IllegalArgumentException("jdbc target requires specs.table")
+    }
     TargetSpec(
       tpe = tpe,
       table = str(sp, "table").getOrElse(""),
       path = str(sp, "path").getOrElse(""),
+      url = str(sp, "url").getOrElse(""),
+      mode = mode,
       keyColumns = strSeq(sp, "keyColumns", Seq("repo", "path")),
       numBuckets = int(sp, "numBuckets").getOrElse(32),
       codec = str(sp, "codec").getOrElse("json"),
