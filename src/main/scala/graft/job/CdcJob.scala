@@ -147,7 +147,11 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
             case Some(j) =>
               stats.add(applyJdbc(good, j, batchId))
             case None =>
-              stats.add(lake.merge(good, cfg.checkpointId, batchId))
+              // preReduced: LsnDedup emits at most one winner per key per
+              // micro-batch, so the merge can skip its winner window (a
+              // whole key-shuffle + sort per batch)
+              stats.add(lake.merge(good, cfg.checkpointId, batchId,
+                preReduced = true))
           }
         }
         ()
@@ -204,7 +208,12 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
   def runFollowing(intervalMs: Long,
       idleTimeoutMs: Option[Long] = None): Seq[MergeStats] = {
     val q = start(Trigger.ProcessingTime(intervalMs))
-    idleTimeoutMs match {
+    // SIGINT/SIGTERM drain ≙ the reference's signal handler
+    // (`internal/source/kafka.go:73-82`): stop the query gracefully — the
+    // in-flight batch completes or replays from checkpoint on restart
+    val hook = new Thread(() => if (q.isActive) q.stop())
+    Runtime.getRuntime.addShutdownHook(hook)
+    try idleTimeoutMs match {
       case None => q.awaitTermination()
       case Some(idle) =>
         var lastData = System.nanoTime()
@@ -238,6 +247,9 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         }
         if (q.isActive) q.stop()
         q.awaitTermination()
+    } finally {
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // JVM already exiting
     }
     drainStats()
   }

@@ -51,11 +51,13 @@ final case class MergeStats(
   *    the copy-on-write variant rewrote every touched bucket in full,
   *    which under Zipf-hot batches approaches O(table) per batch and
   *    makes a 10^10-event replay pay O(batches × table) write volume.
-  *    Read amplification is bounded by **budgeted compaction**: any
-  *    bucket whose file count exceeds `maxFilesPerBucket` is rewritten
-  *    (winner-per-key, tombstones kept) inside the same commit, so
-  *    compaction cost amortizes against the batches that dirtied the
-  *    bucket (at cluster scale `numBuckets` would be thousands);
+  *    Read amplification is bounded by **budgeted minor compaction**
+  *    (LSM-style): a bucket whose file count exceeds `maxFilesPerBucket`
+  *    merges its small-file tail (winner-per-key, tombstones kept) while
+  *    the largest files stay untouched — per-batch compaction cost is
+  *    flat in table size, write volume amortizes O(n log n); `compact()`
+  *    is the major-compaction/GC path (at cluster scale `numBuckets`
+  *    would be thousands);
   *  - schema evolution ≙ draethos auto-ALTER (`internal/target/pgsql.go:
   *    162-238`): new drift fields become appended nullable string columns;
   *    old files are read with the superset schema (missing → null);
@@ -245,8 +247,14 @@ class LakeTable(
     * @param batch   envelope rows: keyCols ++ value cols ++ lsn, op, extra
     * @param checkpointId identity of the writing stream (runId-agnostic)
     * @param batchId streaming micro-batch id (monotone per checkpoint)
+    * @param preReduced the caller guarantees at most one row per key (the
+    *   streaming dedup's winner-only emission) — skips the winner window
+    *   and its whole key-shuffle + sort. Safe even if a duplicate slipped
+    *   through: deltas are resolved max-`__lsn`-per-key (delete-wins tie)
+    *   at read, the same reduction the window performs eagerly.
     */
-  def merge(batch: DataFrame, checkpointId: String, batchId: Long): MergeStats = {
+  def merge(batch: DataFrame, checkpointId: String, batchId: Long,
+      preReduced: Boolean = false): MergeStats = {
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $tablePath not initialized"))
     if (cur.appliedUpTo.get(checkpointId).exists(batchId <= _)) {
@@ -269,10 +277,12 @@ class LakeTable(
     // the stats job and the COW write job below plan against materialized
     // blocks instead of re-planning (and risking re-executing) the whole
     // streaming subtree.
-    val winners = batch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__bucket", bucketExpr)
+    val winners = (
+      if (preReduced) batch
+      else batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    ).withColumn("__bucket", bucketExpr)
       .localCheckpoint()
 
     // 2+3. one aggregation job computes everything driver-side the commit
@@ -343,33 +353,56 @@ class LakeTable(
       .parquet(s"$tablePath/$deltaRel")
     val deltaFiles = enumerateBucketFiles(deltaRel)
 
-    // 7. budgeted compaction: buckets whose file count now exceeds the
-    //    budget are rewritten winner-per-key (tombstones KEPT — a later
-    //    stale upsert must still lose to them; compact(dropTombstones)
-    //    is the separate GC path). Cost amortizes: a bucket is rewritten
-    //    at most once per maxFilesPerBucket merges that touched it, so
-    //    replay write volume is O(events) + O(table/maxFilesPerBucket ×
-    //    rewrites) instead of COW's O(batches × table).
+    // 7. budgeted MINOR compaction (LSM-style): a bucket whose file count
+    //    exceeds the budget merges only its SMALL-FILE TAIL — the largest
+    //    `budget/2` files (the base + mature merged tiers) are kept
+    //    untouched, and the tail (recent small deltas) is rewritten
+    //    winner-per-key into one file (tombstones KEPT — a later stale
+    //    upsert must still lose to them; compact(dropTombstones) is the
+    //    separate major-compaction/GC path). The earlier policy rewrote
+    //    the WHOLE bucket: under batches that touch every bucket (or
+    //    salted hot buckets that exceed the budget every batch) that
+    //    degenerates to COW — per-batch cost grows with table size
+    //    (measured: incremental-merge latency tripled across 16 batches).
+    //    Tail-merge cost is O(recent deltas) per batch, flat in table
+    //    size; total write volume amortizes O(n log n) like an LSM tree.
+    //    Obsolete rows in kept base files are resolved away at read and
+    //    reclaimed only by major compaction — the Iceberg minor/major
+    //    split. File sizes come from a local stat; at cluster scale a
+    //    manifest would carry them (Iceberg does exactly this).
     val grown: Map[String, Seq[String]] =
       (cur.files.keySet ++ deltaFiles.keySet).iterator.map { b =>
         b -> (cur.files.getOrElse(b, Nil) ++ deltaFiles.getOrElse(b, Nil))
       }.toMap
-    val overBudget = grown.filter(_._2.size > maxFilesPerBucket)
+    val keepLargest = math.max(1, maxFilesPerBucket / 2)
+    val tails: Map[String, Seq[String]] = grown
+      .filter(_._2.size > maxFilesPerBucket)
+      .map { case (b, fs) =>
+        b -> fs.sortBy(f => -fileSize(f)).drop(keepLargest)
+      }
+      .filter(_._2.size > 1) // a 1-file tail has nothing to merge
     val finalFiles: Map[String, Seq[String]] =
-      if (overBudget.isEmpty) grown
+      if (tails.isEmpty) grown
       else {
         val rewriteRel = s"data/v$newVersion/rewrite"
         val resolveW = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
-        readFiles(newSchema, overBudget.values.flatten.toSeq)
+        readFiles(newSchema, tails.values.flatten.toSeq)
           .withColumn("__bucket", bucketExpr)
           .withColumn("__mrn", row_number().over(resolveW))
           .filter(col("__mrn") === 1).drop("__mrn")
-          .repartition(overBudget.size, col("__bucket"))
+          .repartition(tails.size, col("__bucket"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("__bucket")
           .parquet(s"$tablePath/$rewriteRel")
-        grown ++ enumerateBucketFiles(rewriteRel)
+        val rewritten = enumerateBucketFiles(rewriteRel)
+        grown.map { case (b, fs) =>
+          tails.get(b) match {
+            case Some(tail) =>
+              b -> (fs.filterNot(tail.toSet) ++ rewritten.getOrElse(b, Nil))
+            case None => b -> fs
+          }
+        }
       }
 
     val next = cur.copy(
@@ -384,6 +417,12 @@ class LakeTable(
     MergeStats(newVersion, batchId, skippedAsApplied = false,
       nUpserts + nDeletes, nUpserts, nDeletes, touched.size, newCols)
   }
+
+  /** Size of a table-relative data file (0 if missing — a lost file shows
+    * up at read, not here).
+    */
+  private def fileSize(rel: String): Long =
+    try Files.size(root.resolve(rel)) catch { case _: java.io.IOException => 0L }
 
   /** List `$tablePath/$rel/__bucket=B/` parquet files → bucket -> relative paths. */
   private def enumerateBucketFiles(rel: String): Map[String, Seq[String]] = {

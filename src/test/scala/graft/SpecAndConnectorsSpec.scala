@@ -52,6 +52,44 @@ class SpecAndConnectorsSpec extends SparkSpec {
     assert(e3.getMessage.contains("extension"))
   }
 
+  test("http source + jdbc target spec fields parse; jdbc validation fails fast") {
+    val s = PipelineSpec.fromYaml(
+      """stream:
+        |  name: hooks
+        |  port: 9090
+        |  instance:
+        |    source:
+        |      type: http
+        |      specs: { path: /data/spool, endpoint: /hook, methods: [post], batchSize: 7 }
+        |    target:
+        |      type: jdbc
+        |      specs: { url: "jdbc:derby:memory:x", table: t, mode: insertIfAbsent, keyColumns: [k] }
+        |""".stripMargin)
+    assert(s.port === 9090)
+    assert(s.instance.source.endpoint === "/hook")
+    assert(s.instance.source.methods === Seq("POST")) // upper-cased
+    assert(s.instance.source.batchSize === 7)
+    assert(s.instance.target.url === "jdbc:derby:memory:x")
+    assert(s.instance.target.mode === "insertIfAbsent")
+    // jdbc target without url/table or with a bogus mode fails at parse
+    def tgt(spec: String) =
+      s"""stream:
+         |  name: x
+         |  instance:
+         |    source: { type: jsonl, specs: { path: /in } }
+         |    target: { type: jdbc, specs: { $spec } }
+         |""".stripMargin
+    val e1 = intercept[IllegalArgumentException](
+      PipelineSpec.fromYaml(tgt("table: t")))
+    assert(e1.getMessage.contains("url"))
+    val e2 = intercept[IllegalArgumentException](
+      PipelineSpec.fromYaml(tgt("url: u")))
+    assert(e2.getMessage.contains("table"))
+    val e3 = intercept[IllegalArgumentException](
+      PipelineSpec.fromYaml(tgt("url: u, table: t, mode: merge")))
+    assert(e3.getMessage.contains("mode merge not implemented"))
+  }
+
   test("csv source: messy headers normalized, md5 row key like csv.go") {
     val dir = tmpDir("csvsrc")
     val f = new java.io.File(dir, "in.csv")
