@@ -204,6 +204,29 @@ object SparkEntry {
       .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_exact"))
   }
 
+  private def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Recall of IVF top-k vs brute-force top-k — same checked-integer
+    * shape as knn_lsh_recall.
+    */
+  private def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_exact"))
+  }
+
   private def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, nPlanes = 6)
@@ -241,6 +264,8 @@ object SparkEntry {
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
     "knn_lsh_recall" -> knnLshRecall,
+    "ivf_knn" -> ivfKnn,
+    "ivf_recall" -> ivfRecall,
     "cosine_neardups" -> cosineNearDups,
     "multimodal_features" -> multimodalFeatures)
 
@@ -413,6 +438,23 @@ object SparkEntry {
         |SELECT b.query_id, count(l.neighbor_id) AS n_hits, count(*) AS n_exact
         |FROM brute b LEFT JOIN lsh l USING (query_id, neighbor_id)
         |GROUP BY 1""".stripMargin,
+    "ivf_knn" -> ivfKnnOracleSql,
+    "ivf_recall" ->
+      s"""WITH brute AS (
+        |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |  scored AS (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      list_cosine_similarity(e.embedding, q.qv) AS cos
+        |    FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |  ranked AS (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+        |ivf AS ($ivfKnnOracleSql)
+        |SELECT b.query_id, count(i.neighbor_id) AS n_hits, count(*) AS n_exact
+        |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
     "cosine_neardups" ->
       s"""WITH c AS (SELECT vec_id AS id, embedding,
         |    ${lshBucketSql("embedding", 6)} AS bucket FROM embeddings)
@@ -512,6 +554,32 @@ object SparkEntry {
       |  SELECT query_id, neighbor_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** IVF index from first principles: centroids = 16 lowest-id vectors,
+    * assignment = argmax cosine (ties by cid), queries probe their 2
+    * nearest cells — exactly `Similarity.ivfTopK(nCells=16, nProbe=2)`.
+    */
+  private def ivfKnnOracleSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16),
+      |rc AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS crank
+      |  FROM embeddings e, cent c),
+      |cell AS (SELECT vec_id, embedding, cid FROM rc WHERE crank = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+      |      FROM rc WHERE vec_id < 5 AND crank <= 2),
+      |cand AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(c.embedding, q.qv) AS cos
+      |  FROM cell c JOIN q ON c.cid = q.cid WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM cand)
       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 }

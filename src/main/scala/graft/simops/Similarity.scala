@@ -123,6 +123,69 @@ object Similarity {
     array((r0 ++ r1 ++ r2): _*)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path beside LSH:
+    * a coarse quantizer assigns every corpus vector to its nearest of
+    * `nCells` centroids ONCE (one broadcast join — the "inverted lists"
+    * are just a `cell` column, so the lists shard with the corpus
+    * partitioning); a query searches only its `nProbe` nearest cells.
+    * Per-query cost drops from O(corpus) to O(nProbe/nCells × corpus),
+    * the recall/cost dial being nProbe.
+    *
+    * Centroids here are the `nCells` lowest-id corpus vectors — a
+    * deterministic degenerate quantizer, chosen so the whole index is
+    * reproducible in ANSI SQL and therefore oracle-checkable (the
+    * `ivf_knn`/`ivf_recall` driver queries). In production the seeds
+    * would come from k-means (MLlib) or reservoir sampling; everything
+    * downstream — assignment, probing, search — is unchanged by the
+    * seed choice, and recall is a *checked number* either way.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("__centroid"))
+
+  /** Rank each row's centroids by cosine (1 = nearest); ties by cid.
+    * Returns (rowId, vec, cid, crank ≤ maxRank).
+    */
+  private def rankCells(rows: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, maxRank: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(cosine(col(vecCol), col("__centroid")).desc, col("cid"))
+    rows.join(broadcast(centroids), lit(true))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= maxRank)
+      .drop("__centroid")
+  }
+
+  /** Assign each corpus vector to its single nearest cell. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    rankCells(corpus, centroids, idCol, vecCol, maxRank = 1).drop("__crank")
+
+  /** ANN via IVF: exact cosine top-k among the corpus rows of the
+    * query's `nProbe` nearest cells. A corpus row lives in exactly one
+    * cell, so probes never duplicate candidates.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val c = ivfAssign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      cent, "neighbor_id", "__cv")
+    val q = rankCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      cent, "query_id", "__qv", maxRank = nProbe).drop("__crank")
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-bucket
     * self-join, cosine ≥ threshold. The near-dup analog of MinHash for
     * dense vectors.

@@ -201,6 +201,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet === rows2.map(_.toSeq).toSet)
   }
 
+  test("ivf knn: one cell per corpus row, probes widen recall, deterministic") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // every corpus row lands in exactly one cell
+    val cent = Similarity.ivfCentroids(df, "vec_id", "embedding", nCells = 8)
+    val assigned = Similarity.ivfAssign(
+      df.selectExpr("vec_id as neighbor_id", "embedding as __cv"),
+      cent, "neighbor_id", "__cv")
+    assert(assigned.count() === 60)
+    assert(assigned.select("neighbor_id").distinct().count() === 60)
+    val out = Similarity.ivfTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2).collect()
+    assert(out.nonEmpty && out.forall(_.getInt(2) <= 5))
+    // no duplicate (query, neighbor) pairs despite multi-probe
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === out.length)
+    // deterministic across runs
+    val out2 = Similarity.ivfTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2).collect()
+    assert(out.map(_.toSeq).toSet === out2.map(_.toSeq).toSet)
+    // more probes can only widen the candidate set: nProbe=8 == brute force
+    val all = Similarity.ivfTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute)
+  }
+
   test("text analysis: tokens, quality, lang-id, fingerprint") {
     import spark.implicits._
     val df = Seq(
