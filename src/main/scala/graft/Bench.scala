@@ -143,13 +143,35 @@ object Bench {
         })
     val listener = new MetricsListener(verbose = false)
     spark.streams.addListener(listener)
+    // Bound each micro-batch by BYTES, not file count: log segments are
+    // single ~uniform files, so a fixed maxFilesPerTrigger ties batch
+    // size to TOTAL log size — at 40M events (16 × 718 MB segments) one
+    // trigger ingested the whole 12 GB log as a single batch inside the
+    // 12 GiB child heap, and the replay collapsed into a GC/spill storm
+    // (measured: 582 s @16 vs 162 s for the same log with bounded
+    // batches in a big heap). No streaming job should ingest its entire
+    // backlog as one micro-batch — bounded batches are the backpressure
+    // analog of the reference's batchSize (`pgsql.go:120-125`).
+    // ~3 GB of parquet (~10M events) per batch: large enough that the
+    // per-batch serial floor (planning, state-commit coordination,
+    // snapshot commit — ~4 s measured) stays small against per-batch
+    // work at BOTH levels, small enough to fit the child heap
+    val targetBatchBytes = sys.env.get("SPARK_GRAFT_BATCH_BYTES")
+      .map(_.toDouble).getOrElse(3e9)
+    val mft = sys.env.get("SPARK_GRAFT_MFT").map(_.toInt).getOrElse {
+      val sizes = segmentFileSizes(logDir)
+      if (sizes.isEmpty) 16
+      else {
+        val avg = sizes.sum.toDouble / sizes.size
+        math.max(1, math.min(sizes.size, (targetBatchBytes / avg).toInt))
+      }
+    }
     val cfg = CdcJobConfig(
       logDir = logDir,
       tablePath = s"$workDir/lake$cores",
       checkpointDir = s"$workDir/ckpt$cores",
       numBuckets = 64,
-      maxFilesPerTrigger =
-        sys.env.getOrElse("SPARK_GRAFT_MFT", "16").toInt,
+      maxFilesPerTrigger = mft,
       checkpointId = s"bench$cores")
     val job = CdcJob(spark, cfg)
     val t0 = System.nanoTime()
@@ -179,11 +201,13 @@ object Bench {
       .getRuntimeMXBean.getInputArguments
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
-    // a small, fixed heap: page faults on this hypervisor cost ~100x a
-    // normal fault (measured via AlwaysPreTouch: 48 GiB = 322 CPU-min of
-    // kernel time), so touched-page reuse beats a big lazily-grown heap
+    // fixed, moderate heap: big enough for a ~3 GB-parquet micro-batch's
+    // localCheckpoint blocks, small enough to avoid the hypervisor's
+    // page-fault pathology (AlwaysPreTouch at 48 GiB = 322 CPU-min of
+    // kernel time, measured); children run one at a time, so 20g is
+    // never multiplied
     jvmArgs.forEach(a => if (!a.startsWith("-Xmx") && !a.startsWith("-Xms")) cmd.add(a))
-    cmd.add("-Xmx12g")
+    cmd.add("-Xmx20g")
     // GC parallelism follows the level's compute parallelism — on a real
     // cluster a 4N-executor fleet brings 4x the GC threads of N, and a
     // fixed count turns the higher level into a GC benchmark (measured:
@@ -411,6 +435,16 @@ object Bench {
         "/root/repo/BENCH_LATEST.json")), json + "\n")
     // don't leave gigabytes behind on tmpfs
     rmTree(new java.io.File(workDir))
+  }
+
+  /** Sizes of the parquet files under `logDir/seg=*`. */
+  private def segmentFileSizes(logDir: String): Seq[Long] = {
+    val root = new java.io.File(logDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("seg="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).toSeq
   }
 
   private def rmTree(f: java.io.File): Unit = {
