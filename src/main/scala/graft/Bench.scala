@@ -83,6 +83,12 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // commit the per-batch CHANGELOG instead of uploading a full
+        // RocksDB snapshot every micro-batch; snapshots happen in the
+        // background — removes a serial seconds-scale term from every
+        // batch's commit phase (part of the scaling-efficiency floor)
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
     if (master.startsWith("local-cluster")) {
       // executors are fresh JVMs: they need our classes (the spark distro
       // jars come from SPARK_HOME), the JDK17 module opens, and tmpfs
@@ -137,8 +143,11 @@ object Bench {
             val i = sc.stageInfo
             val dur = for {
               a <- i.completionTime; b <- i.submissionTime } yield a - b
+            val m = i.taskMetrics
             System.err.println(f"[stage] ${i.stageId}%4d ${dur.getOrElse(-1L)}%7d ms " +
-              f"tasks=${i.numTasks}%4d ${i.name.take(90)}")
+              f"run=${m.executorRunTime}%6d cpu=${m.executorCpuTime / 1000000}%6d " +
+              f"gc=${m.jvmGCTime}%6d deser=${m.executorDeserializeTime}%5d " +
+              f"tasks=${i.numTasks}%4d ${i.name.take(70)}")
           }
         })
     val listener = new MetricsListener(verbose = false)

@@ -34,6 +34,10 @@ object Main {
     if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing: per-batch commit uploads the changelog,
+        // full snapshots happen in the background (BENCH.md "State store")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -87,7 +91,7 @@ object Main {
       |      specs:
       |        path: /data/log        # http: the spool dir the webhook writes
       |        format: parquet        # parquet (typed segments) | jsonl (raw text + codec, DLQ-able)
-      |        codec: json            # json | yaml | xml (jsonl format requires json)
+      |        codec: json            # json | yaml | xml (decodes jsonl-format text lines)
       |        trigger: availableNow  # availableNow (replay+exit) | processingTime=500ms (tail)
       |        maxFilesPerTrigger: 8
       |        # http source only:
@@ -137,7 +141,8 @@ object Main {
         require(spool.nonEmpty, "http source requires specs.path (spool dir)")
         val server = graft.sources.HttpIngestServer(
           spec.port, spec.instance.source.endpoint, spool,
-          spec.instance.source.methods.toSet, spec.instance.source.batchSize)
+          spec.instance.source.methods.toSet, spec.instance.source.batchSize,
+          spec.instance.source.bufferSize)
         server.start()
         println(s"[graft] http source listening on :${server.boundPort}" +
           s"${spec.instance.source.endpoint} -> spool $spool")
@@ -195,9 +200,23 @@ object Main {
           numBuckets = tgt.numBuckets,
           maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
           format = format,
+          codec = spec.instance.source.codec,
           checkpointId = spec.name,
           jdbcSink = jdbcSink)
         val job = CdcJob(spark, cfg)
+        // ops endpoints for EVERY streaming pipeline ≙ internal/worker.go:
+        // 82-90 (the reference serves promhttp + healthchecks regardless
+        // of source type). http-source pipelines already expose them on
+        // the ingest port; changelog pipelines get a dedicated server.
+        val listener = new graft.job.MetricsListener(verbose = false)
+        spark.streams.addListener(listener)
+        @volatile var queryLive = false
+        val ops =
+          if (httpServer.isDefined) None
+          else graft.job.OpsServer.tryStart(spec.port, () => queryLive,
+            () => listener.prometheusText)
+        ops.foreach(o => println(s"[graft] ops endpoints on :${o.boundPort}" +
+          " (/metrics, /healthcheck/liveness, /healthcheck/readiness)"))
         // tailing: spec trigger processingTime=<N>ms, or CLI --follow
         // [--interval-ms N]; --idle-timeout-ms N stops after that long
         // without new data (catch-up-then-exit; also the e2e-test hook)
@@ -207,10 +226,16 @@ object Main {
           else None)
         val idleMs = flag(args, "--idle-timeout-ms").map(_.toLong)
         val t0 = System.nanoTime()
-        val stats = followMs match {
-          case Some(ms) => job.runFollowing(ms, idleMs)
-          case None => job.runToCompletion()
-        }
+        queryLive = true
+        val stats =
+          try followMs match {
+            case Some(ms) => job.runFollowing(ms, idleMs)
+            case None => job.runToCompletion()
+          } finally {
+            queryLive = false
+            ops.foreach(_.stop())
+            spark.streams.removeListener(listener)
+          }
         val secs = (System.nanoTime() - t0) / 1e9
         val applied = stats.filterNot(_.skippedAsApplied)
         val events = applied.map(_.inputRows).sum
@@ -231,11 +256,15 @@ object Main {
           // FileStreamSink metadata probe) and drop the seg partition col
           val raw = cfg.format match {
             case "jsonl" =>
-              // parse the raw lines like the stream does; malformed lines
-              // (DLQ-bound) carry no envelope and drop out here too
-              spark.read.text(logDir + "/seg=*")
-                .withColumn("__p", from_json(col("value"),
-                  graft.envelope.ChangeEvent.schema))
+              // decode the raw lines like the stream does (same codec
+              // dispatch); malformed lines (DLQ-bound) carry no envelope
+              // and drop out here too
+              val lines0 = spark.read.text(logDir + "/seg=*")
+              val lines =
+                if (cfg.codec == "yaml") CdcJob.yamlToJsonLines(spark, lines0)
+                else lines0
+              lines
+                .withColumn("__p", CdcJob.decodeEnvelope(cfg.codec, col("value")))
                 .filter(col("__p.lsn").isNotNull && col("__p.op").isNotNull &&
                   col("__p.repo").isNotNull && col("__p.path").isNotNull)
                 .select("__p.*")

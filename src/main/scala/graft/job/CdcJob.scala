@@ -25,8 +25,14 @@ final case class CdcJobConfig(
     numBuckets: Int = 32,
     maxFilesPerTrigger: Int = 2,
     // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
-    // + JSON codec, the draethos kafka+json shape — malformed lines DLQ)
+    // lines decoded by `codec` — the draethos kafka shape; malformed
+    // lines DLQ)
     format: String = "parquet",
+    // text-changelog codec ≙ the reference dispatcher
+    // (`internal/context/codec.go:15-27`, whose xml→yaml bug we don't
+    // copy): json | xml (native expressions) | yaml (transcoded to JSON
+    // per partition, then the JSON path)
+    codec: String = "json",
     // runId-agnostic identity of this pipeline for the exactly-once ledger
     checkpointId: String = "cdc",
     // when set, micro-batches upsert into a JDBC table (≙ the reference's
@@ -85,15 +91,21 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
           .withColumn("extra", coalesce(col("extra"), map()))
           .as[ChangeEvent]
       case "jsonl" =>
-        // raw text + JSON codec ≙ the draethos kafka-source + json-codec
-        // path (`internal/source/kafka.go:130`, `internal/codec/json.go`);
-        // a line that fails to parse becomes a DLQ-tagged event instead of
-        // being logged-and-dropped like the reference (`kafka.go:93-97`)
-        val raw = spark.readStream
+        // raw text + codec ≙ the draethos kafka-source + codec path
+        // (`internal/source/kafka.go:130`, `internal/codec/{json,xml,
+        // yaml}.go`); a line that fails to decode becomes a DLQ-tagged
+        // event instead of being logged-and-dropped like the reference
+        // (`kafka.go:93-97`). json/xml decode through native expressions
+        // (codegen'd); yaml — which has no SQL expression — transcodes to
+        // JSON lines per partition and rides the same path, so malformed
+        // yaml reaches the DLQ as the original line too.
+        val raw0 = spark.readStream
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
           .text(s"${cfg.logDir}/seg=*")
+        val raw =
+          if (cfg.codec == "yaml") CdcJob.yamlToJsonLines(spark, raw0) else raw0
         raw
-          .withColumn("__p", from_json(col("value"), ChangeEvent.schema))
+          .withColumn("__p", CdcJob.decodeEnvelope(cfg.codec, col("value")))
           .select(
             when(valid, col("__p.lsn")).otherwise(lit(0L)).as("lsn"),
             when(valid, col("__p.op")).otherwise(lit(DlqOp)).as("op"),
@@ -174,6 +186,11 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       else input
         .select(explode(map_keys(coalesce(col("extra"), map()))).as("k"))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
+        // a drift key named like an envelope/key column (lsn, op, repo, …)
+        // must not overwrite it — that would corrupt the winner reduction
+        // and the JDBC key columns. Same guard as the lake side, where
+        // base columns always win over the extra map.
+        .filterNot(input.columns.contains)
     val lifted = driftKeys.foldLeft(input) { (d, k) =>
       d.withColumn(k, element_at(col("extra"), k))
     }.drop("extra")
@@ -183,8 +200,9 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     MergeStats(-1L, batchId, skippedAsApplied = false, n, up, del, 0, driftKeys)
   }
 
-  /** A parsed jsonl line is a valid envelope iff the required fields came
-    * through non-null (≙ dispatcher validation the reference lacks).
+  /** A parsed text-changelog line is a valid envelope iff the required
+    * fields came through non-null (≙ dispatcher validation the reference
+    * lacks).
     */
   private def valid =
     col("__p").isNotNull && col("__p.lsn").isNotNull &&
@@ -272,4 +290,35 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
 
 object CdcJob {
   def apply(spark: SparkSession, cfg: CdcJobConfig): CdcJob = new CdcJob(spark, cfg)
+
+  /** Envelope decode column for a text changelog line, by codec —
+    * json/xml are native, codegen'd expressions; yaml lines must be
+    * transcoded first (`yamlToJsonLines`) and then parse as json.
+    */
+  def decodeEnvelope(codec: String, raw: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = codec match {
+    case "xml" => graft.sources.Codecs.decode("xml", raw, ChangeEvent.schema)
+    case _ => from_json(raw, ChangeEvent.schema)
+  }
+
+  /** YAML→JSON transcode, one line per record: snakeyaml parse + jackson
+    * re-encode inside `mapPartitions` (the documented per-record
+    * imperative case — YAML has no Catalyst expression). A line that
+    * fails to parse as a YAML mapping passes through VERBATIM, so the
+    * downstream `from_json` rejects it into the DLQ carrying the
+    * original bytes. Works on batch and streaming inputs alike.
+    */
+  def yamlToJsonLines(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    raw.select(col("value").cast("string")).as[String].mapPartitions { it =>
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.map { line =>
+        try yaml.load[Object](line) match {
+          case m: java.util.Map[_, _] => json.writeValueAsString(m)
+          case _ => line // scalar/sequence/empty: not an envelope mapping
+        } catch { case scala.util.control.NonFatal(_) => line }
+      }
+    }.toDF("value")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,11 @@ final case class Snapshot(
     appliedUpTo: Map[String, Long],
     // per-partition lineage: bucket -> max applied LSN watermark
     lineage: Map[String, Long],
-    parentVersion: Long)
+    parentVersion: Long,
+    // the creation-time user columns; columns in schemaDdl beyond these
+    // (and the meta columns) are DRIFT columns whose values ride in the
+    // delta files' `extra` map and are lifted at read time
+    baseCols: Seq[String] = Nil)
 
 /** Result of one merge commit, for metrics / listeners. */
 final case class MergeStats(
@@ -58,9 +62,22 @@ final case class MergeStats(
   *    flat in table size, write volume amortizes O(n log n); `compact()`
   *    is the major-compaction/GC path (at cluster scale `numBuckets`
   *    would be thousands);
+  *  - **the merge commit is ONE Spark job**: the delta write carries an
+  *    `observe()` side-channel for the driver-side facts the commit needs
+  *    (row/upsert counts, drift keys), and per-bucket lineage watermarks
+  *    come from the freshly written delta files' parquet FOOTER column
+  *    statistics (`__lsn` max per bucket — exact, no extra job). The
+  *    previous shape (eager `localCheckpoint` + a stats job + the write =
+  *    three jobs per micro-batch) put a ~4 s serial floor under every
+  *    batch and capped replay scaling efficiency at ~0.59 (BENCH.md);
   *  - schema evolution ≙ draethos auto-ALTER (`internal/target/pgsql.go:
-  *    162-238`): new drift fields become appended nullable string columns;
-  *    old files are read with the superset schema (missing → null);
+  *    162-238`): new drift fields become appended nullable string columns
+  *    in the snapshot schema; their VALUES stay in the delta files' stored
+  *    `extra` map and are projected out at read
+  *    (`coalesce(col, extra[col])`), so discovery can happen during the
+  *    write instead of before it. Major/minor compaction materializes
+  *    drift columns and drops `extra`; old files missing a column surface
+  *    it as null — schema-on-read evolution either way;
   *  - upsert semantics = last-write-wins per key, the REPLACE-INTO behavior
   *    of the reference MySQL sink (`internal/target/mysql.go:23`), with the
   *    envelope's `delete` op mapped to row removal (the north rule's MERGE:
@@ -131,6 +148,11 @@ class LakeTable(
     */
   val LsnMeta = "__lsn"
   val DeletedMeta = "__deleted"
+  /** Stored drift carrier inside delta files (not part of the user or
+    * snapshot schema; dropped by compaction after drift columns are
+    * materialized).
+    */
+  val ExtraMeta = "extra"
   private def metaFields = Seq(
     StructField(LsnMeta, LongType, nullable = false),
     StructField(DeletedMeta, BooleanType, nullable = false))
@@ -145,7 +167,8 @@ class LakeTable(
       schemaDdl = StructType(baseSchema.fields ++ metaFields).toDDL,
       numBuckets = numBuckets,
       keyCols = keyCols, files = Map.empty, appliedUpTo = Map.empty,
-      lineage = Map.empty, parentVersion = -1L)
+      lineage = Map.empty, parentVersion = -1L,
+      baseCols = baseSchema.fieldNames.toSeq)
     commitSnapshot(s)
     s
   }
@@ -186,31 +209,69 @@ class LakeTable(
 
   /** Read including the internal meta columns: the MOR resolve — one
     * winner per key (max `__lsn`, tombstones included so callers can see
-    * deletions). Always resolves, even when every bucket holds one file:
-    * correctness first — the resolve is a single key-partitioned window
-    * over live rows, and the compaction budget keeps the multi-file
-    * amplification it pays for bounded.
+    * deletions). Drift columns are lifted out of the stored `extra` map
+    * for files that predate their materialization.
     */
   def readMeta(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
-    case Some(s) => resolve(readFiles(StructType.fromDDL(s.schemaDdl),
-      s.files.values.flatten.toSeq))
+    case Some(s) => resolveSnapshot(s)
+  }
+
+  private def resolveSnapshot(s: Snapshot): DataFrame = {
+    val sch = StructType.fromDDL(s.schemaDdl)
+    resolve(s, liftDrift(s, readFiles(extendedSchema(s, sch),
+      s.files.values.flatten.toSeq)))
+  }
+
+  /** Read schema for raw table files: snapshot schema + the stored `extra`
+    * drift carrier (delta files have it; compacted files — and tables
+    * whose base schema already claims the name — don't, and read null).
+    */
+  private def extendedSchema(s: Snapshot, sch: StructType): StructType =
+    if (sch.fieldNames.contains(ExtraMeta)) sch
+    else StructType(sch.fields :+
+      StructField(ExtraMeta, MapType(StringType, StringType), nullable = true))
+
+  /** Drift columns = snapshot schema minus creation-time base columns and
+    * the meta columns. For legacy snapshots without `baseCols` every user
+    * column counts as base (drift was materialized at write back then).
+    */
+  private def driftCols(s: Snapshot): Seq[String] =
+    if (s.baseCols.isEmpty) Nil
+    else StructType.fromDDL(s.schemaDdl).fieldNames.toSeq
+      .filterNot(c => c == LsnMeta || c == DeletedMeta || s.baseCols.contains(c))
+
+  /** Project drift columns out of the stored `extra` map: a file that
+    * materialized the column (compaction output) wins via coalesce; a
+    * delta file serves it straight from the map. Pure codegen'd
+    * projection — no shuffle, no extra pass.
+    */
+  private def liftDrift(s: Snapshot, df: DataFrame): DataFrame = {
+    val drift = driftCols(s)
+    val hasCarrier = df.columns.contains(ExtraMeta) &&
+      !StructType.fromDDL(s.schemaDdl).fieldNames.contains(ExtraMeta)
+    val lifted =
+      if (drift.isEmpty || !hasCarrier) df
+      else drift.foldLeft(df) { (d, c) =>
+        d.withColumn(c, coalesce(col(c), element_at(col(ExtraMeta), c)))
+      }
+    if (hasCarrier) lifted.drop(ExtraMeta) else lifted
   }
 
   /** Raw rows of every referenced file, unresolved (deltas + tombstones
-    * as stored) — lineage checks, compaction internals, tests.
+    * as stored, including the `extra` drift carrier) — lineage checks,
+    * compaction internals, tests.
     */
   def readRaw(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
-    case Some(s) => readFiles(StructType.fromDDL(s.schemaDdl),
+    case Some(s) => readFiles(extendedSchema(s, StructType.fromDDL(s.schemaDdl)),
       s.files.values.flatten.toSeq)
   }
 
   /** Time travel: read the table as of a given snapshot version. */
   def readVersion(version: Long): DataFrame = {
     val s = snapshot(version)
-    resolve(readFiles(StructType.fromDDL(s.schemaDdl),
-        s.files.values.flatten.toSeq))
+    resolveSnapshot(s)
       .filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
 
@@ -219,12 +280,21 @@ class LakeTable(
     * within-batch window — equal LSNs only arise from redelivered events,
     * where both rows are identical anyway; the aligned tie-break makes
     * the pathological distinct-payload case batching-independent too).
+    *
+    * **Bucket-local fast path**: every file the table writes (delta,
+    * minor-compaction rewrite, major compaction) holds at most one row
+    * per key — a delta is a batch's winner set, a rewrite is already
+    * resolved. So when every bucket references a SINGLE file there is
+    * nothing to resolve across, and the global key-window (a full-table
+    * shuffle+sort on every read) is skipped entirely. Post-compaction
+    * steady-state reads of a 100 TB table are shuffle-free scans.
     */
-  private def resolve(df: DataFrame): DataFrame =
+  private def resolve(s: Snapshot, df: DataFrame): DataFrame =
     if (df.columns.isEmpty) df
+    else if (s.files.values.forall(_.size <= 1)) df
     else {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(keyCols.map(col): _*)
+      val w = Window.partitionBy(s.keyCols.map(col): _*)
         .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
       df.withColumn("__rrn", row_number().over(w))
         .filter(col("__rrn") === 1).drop("__rrn")
@@ -242,7 +312,9 @@ class LakeTable(
 
   /** Apply one micro-batch of change events (already LSN-deduped upstream;
     * this still reduces to one winner per key for safety/determinism) to
-    * the table as an idempotent MERGE commit.
+    * the table as an idempotent MERGE commit. The hot path costs ONE
+    * Spark job (the delta write — see the class doc's "one Spark job"
+    * bullet for how stats/lineage/drift discovery piggyback on it).
     *
     * @param batch   envelope rows: keyCols ++ value cols ++ lsn, op, extra
     * @param checkpointId identity of the writing stream (runId-agnostic)
@@ -263,97 +335,108 @@ class LakeTable(
         0L, 0L, 0L, 0, Nil)
     }
     val oldSchema = StructType.fromDDL(cur.schemaDdl)
+    val baseCols: Seq[String] =
+      if (cur.baseCols.nonEmpty) cur.baseCols
+      else oldSchema.fieldNames.toSeq.filterNot(c => c == LsnMeta || c == DeletedMeta)
 
     // 1. one winner per key: max lsn; on an equal-lsn tie the delete wins,
     //    matching resolve()'s cross-file tie-break exactly, so the final
     //    state for pathological duplicate-lsn delete/upsert pairs is
     //    independent of how the log was batched. (LSNs are normally
     //    unique per logical event; equal-lsn rows are redeliveries.)
+    //    Skipped when the streaming dedup already emitted winners-only.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(lsnCol).desc, (col(opCol) === "delete").desc, col(opCol).desc)
-    // localCheckpoint (eager): runs the heavy upstream path (scan →
-    // stateful dedup → window) exactly once and truncates the lineage, so
-    // the stats job and the COW write job below plan against materialized
-    // blocks instead of re-planning (and risking re-executing) the whole
-    // streaming subtree.
-    val winners = (
+    val winners =
       if (preReduced) batch
       else batch
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-    ).withColumn("__bucket", bucketExpr)
-      .localCheckpoint()
 
-    // 2+3. one aggregation job computes everything driver-side the commit
-    //    needs: touched buckets (≤ numBuckets rows), per-bucket lineage,
-    //    upsert/delete counts, and the distinct drift keys (auto-ALTER ≙
-    //    pgsql.go:162-238; bounded by schema width — tiny).
-    val hasExtra = batch.columns.contains("extra")
-    val ksCol =
-      if (hasExtra) array_distinct(flatten(collect_set(map_keys(col("extra")))))
-      else first(typedLit(Seq.empty[String]))
-    val perBucket = winners.groupBy("__bucket").agg(
-      max(col(lsnCol)).as("maxLsn"),
-      count(lit(1)).as("n"),
-      sum(when(col(opCol) =!= "delete", 1L).otherwise(0L)).as("ups"),
-      ksCol.as("ks")).collect()
-    val touched: Seq[Long] = perBucket.map(_.getLong(0)).toSeq.sorted
-    val touchedSet = touched.map(_.toString).toSet
-    val batchLineage: Map[String, Long] =
-      perBucket.map(r => r.getLong(0).toString -> r.getLong(1)).toMap
-    val nUpserts = perBucket.map(_.getLong(3)).sum
-    val nDeletes = perBucket.map(_.getLong(2)).sum - nUpserts
-    val driftKeys: Seq[String] = perBucket
-      .flatMap(_.getSeq[String](4)).distinct.sorted.toSeq
-    val newCols = driftKeys.filterNot(k => oldSchema.fieldNames.contains(k))
-    val newSchema = StructType(oldSchema.fields ++
-      newCols.map(c => StructField(c, StringType, nullable = true)))
-
-    // 4+5. monotone MERGE, merge-on-read: batch winners become delta rows
-    //    carrying (__lsn = event lsn, __deleted = op=='delete', drift
-    //    values lifted out of `extra`); nothing stored is read or
-    //    rewritten here — the reader resolves max-__lsn per key across
-    //    {stored rows, deltas}. A stale upsert can never replace a newer
-    //    row OR a newer tombstone — order-independent convergence for any
-    //    batching, with or without upstream dedup state.
-    val valueCols = newSchema.fieldNames.toSeq // includes meta columns
-    val userCols = valueCols.filterNot(c => c == LsnMeta || c == DeletedMeta)
-    val candBase = winners
+    // 2. delta row shape: user columns the batch carries (missing base
+    //    columns → typed nulls; drift columns it doesn't carry stay in
+    //    the stored `extra` map and are lifted at read), the meta columns,
+    //    and the bucket id.
+    val hasExtra = batch.columns.contains(ExtraMeta) &&
+      !baseCols.contains(ExtraMeta)
+    val userCols = oldSchema.fieldNames.toSeq
+      .filterNot(c => c == LsnMeta || c == DeletedMeta)
+    val withMeta = winners
       .withColumn(LsnMeta, col(lsnCol))
       .withColumn(DeletedMeta, col(opCol) === "delete")
-    val upserts = userCols.foldLeft(candBase) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else if (df.columns.contains("extra"))
-        df.withColumn(c, element_at(col("extra"), c))
-      else df.withColumn(c, lit(null).cast(StringType))
-    }.select((valueCols.map(col) :+ col("__bucket")): _*)
+      .withColumn("__bucket", bucketExpr)
+    val outCols: Seq[Column] =
+      userCols.collect {
+        case c if withMeta.columns.contains(c) => col(c)
+        case c if baseCols.contains(c) =>
+          lit(null).cast(oldSchema(c).dataType).as(c)
+      } ++
+        (if (hasExtra) Seq(col(ExtraMeta)) else Nil) ++
+        Seq(col(LsnMeta), col(DeletedMeta), col("__bucket"))
 
-    // 6. append the delta, one file per touched bucket, salting hot
-    //    buckets. Cold buckets repartition by bucket alone: each task
-    //    holds whole buckets, so partitionBy emits O(touched buckets)
-    //    files per version instead of O(tasks × buckets) tiny files.
-    //    Buckets whose batch volume exceeds 4x the mean (Zipf-hot repos)
-    //    get a salt derived from the key tail so their write spreads
-    //    across tasks — bounded extra files, only where skew demands.
-    val meanPerBucket = math.max(1L,
-      perBucket.map(_.getLong(2)).sum / math.max(perBucket.length, 1))
-    val hotBuckets = perBucket.filter(_.getLong(2) > 4 * meanPerBucket)
-      .map(_.getLong(0)).toSet
-    val saltExpr =
-      if (hotBuckets.isEmpty) lit(0L)
-      else when(col("__bucket").isInCollection(hotBuckets),
-        pmod(xxhash64(col(keyCols.last)), lit(8L))).otherwise(lit(0L))
+    // 3. observe() rides the write: row/upsert counts and the distinct
+    //    drift keys (auto-ALTER ≙ pgsql.go:162-238; bounded by schema
+    //    width — tiny) are accumulated DURING the single write job, so the
+    //    commit needs no separate stats job and no localCheckpoint pass.
+    val obs = Observation()
+    val obsExprs: Seq[Column] = Seq(
+      count(lit(1)).as("n"),
+      sum(when(!col(DeletedMeta), 1L).otherwise(0L)).as("ups")) ++
+      (if (hasExtra)
+        Seq(array_distinct(flatten(collect_set(map_keys(col(ExtraMeta)))))
+          .as("ks"))
+      else Nil)
+    val projected = withMeta
+      .observe(obs, obsExprs.head, obsExprs.tail: _*)
+      .select(outCols: _*)
+
+    // 4. append the delta, one file per touched bucket. Write parallelism
+    //    is guarded stat-free: when the executor fleet is wider than the
+    //    bucket count (small tables, test tables), rows are salted by key
+    //    hash so no single task serializes a bucket's write; when buckets
+    //    ≥ cores (the 100 TB shape: thousands of buckets) the salt factor
+    //    is 1 and each bucket stays one file. Post-dedup batches hold one
+    //    row per key, so per-bucket volume is hash-uniform — the earlier
+    //    hot-bucket salting (which needed a per-batch stats job to find
+    //    skew) guarded raw event skew that the dedup/winner stages have
+    //    already flattened by this point.
+    val saltFactor = math.max(1, math.ceil(
+      spark.sparkContext.defaultParallelism.toDouble / numBuckets).toInt)
+    val saltCol =
+      if (saltFactor == 1) lit(0)
+      else pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
     val newVersion = cur.version + 1
     val deltaRel = s"data/v$newVersion/delta"
-    upserts
-      .repartition(numBuckets, col("__bucket"), saltExpr)
+    projected
+      .repartition(numBuckets * saltFactor, col("__bucket"), saltCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$deltaRel")
     val deltaFiles = enumerateBucketFiles(deltaRel)
 
-    // 7. budgeted MINOR compaction (LSM-style): a bucket whose file count
+    // 5. driver-side commit facts. Counts + drift keys from the observed
+    //    metrics; per-bucket lineage watermarks from the delta files'
+    //    parquet footer statistics (exact `__lsn` max per bucket, a few
+    //    ms of metadata IO over ≤ numBuckets·salt files — at cluster
+    //    scale a manifest would carry these, as Iceberg's does).
+    val m = obs.get
+    val nRows = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nUpserts = Option(m.getOrElse("ups", null))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nDeletes = nRows - nUpserts
+    val driftKeys: Seq[String] =
+      if (!hasExtra) Nil
+      else Option(m.getOrElse("ks", null))
+        .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq).getOrElse(Nil)
+        .sorted
+    val newCols = driftKeys.filterNot(k => oldSchema.fieldNames.contains(k))
+    val newSchema = StructType(oldSchema.fields ++
+      newCols.map(c => StructField(c, StringType, nullable = true)))
+    val batchLineage: Map[String, Long] = footerMaxLsn(deltaFiles)
+    val touched = deltaFiles.keySet
+
+    // 6. budgeted MINOR compaction (LSM-style): a bucket whose file count
     //    exceeds the budget merges only its SMALL-FILE TAIL — the largest
     //    `budget/2` files (the base + mature merged tiers) are kept
     //    untouched, and the tail (recent small deltas) is rewritten
@@ -368,8 +451,10 @@ class LakeTable(
     //    size; total write volume amortizes O(n log n) like an LSM tree.
     //    Obsolete rows in kept base files are resolved away at read and
     //    reclaimed only by major compaction — the Iceberg minor/major
-    //    split. File sizes come from a local stat; at cluster scale a
-    //    manifest would carry them (Iceberg does exactly this).
+    //    split. The rewrite materializes drift columns and drops the
+    //    `extra` carrier (like major compaction). File sizes come from a
+    //    local stat; at cluster scale a manifest would carry them
+    //    (Iceberg does exactly this).
     val grown: Map[String, Seq[String]] =
       (cur.files.keySet ++ deltaFiles.keySet).iterator.map { b =>
         b -> (cur.files.getOrElse(b, Nil) ++ deltaFiles.getOrElse(b, Nil))
@@ -387,7 +472,10 @@ class LakeTable(
         val rewriteRel = s"data/v$newVersion/rewrite"
         val resolveW = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(LsnMeta).desc, col(DeletedMeta).desc)
-        readFiles(newSchema, tails.values.flatten.toSeq)
+        val afterSnapshot = cur.copy(schemaDdl = newSchema.toDDL)
+        liftDrift(afterSnapshot,
+            readFiles(extendedSchema(afterSnapshot, newSchema),
+              tails.values.flatten.toSeq))
           .withColumn("__bucket", bucketExpr)
           .withColumn("__mrn", row_number().over(resolveW))
           .filter(col("__mrn") === 1).drop("__mrn")
@@ -410,12 +498,39 @@ class LakeTable(
       schemaDdl = newSchema.toDDL,
       files = finalFiles,
       appliedUpTo = cur.appliedUpTo + (checkpointId -> batchId),
-      lineage = cur.lineage ++ batchLineage.map { case (b, m) =>
-        b -> math.max(m, cur.lineage.getOrElse(b, Long.MinValue)) },
-      parentVersion = cur.version)
+      lineage = cur.lineage ++ batchLineage.map { case (b, mx) =>
+        b -> math.max(mx, cur.lineage.getOrElse(b, Long.MinValue)) },
+      parentVersion = cur.version,
+      baseCols = baseCols)
     commitSnapshot(next)
     MergeStats(newVersion, batchId, skippedAsApplied = false,
-      nUpserts + nDeletes, nUpserts, nDeletes, touched.size, newCols)
+      nRows, nUpserts, nDeletes, touched.size, newCols)
+  }
+
+  /** Exact per-bucket max `__lsn` from parquet footer column statistics —
+    * metadata-only reads, no Spark job. A file whose stats are somehow
+    * absent just doesn't advance that bucket's watermark (lineage is
+    * monotone-merged into the snapshot, never decreased).
+    */
+  private def footerMaxLsn(rel: Map[String, Seq[String]]): Map[String, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    rel.iterator.map { case (b, fs) =>
+      val mx = fs.iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.iterator
+          .flatMap { blk =>
+            blk.getColumns.asScala
+              .find(_.getPath.toDotString == LsnMeta)
+              .flatMap(cc => Option(cc.getStatistics))
+              .filter(st => !st.isEmpty && st.hasNonNullValue)
+              .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }.foldLeft(Long.MinValue)(math.max)
+        finally r.close()
+      }.foldLeft(Long.MinValue)(math.max)
+      b -> mx
+    }.filter(_._2 != Long.MinValue).toMap
   }
 
   /** Size of a table-relative data file (0 if missing — a lost file shows
@@ -438,10 +553,12 @@ class LakeTable(
       }.toMap
   }
 
-  /** Compact the table: rewrite every bucket into one file. Preserves the
-    * internal meta columns; with `dropTombstones=true` also garbage-
-    * collects deleted keys (safe once no replayer can deliver events with
-    * lsn below the per-bucket lineage watermark). Same snapshot mechanics.
+  /** Compact the table: rewrite every bucket into one file, materializing
+    * drift columns (and dropping the delta-side `extra` carrier). With
+    * `dropTombstones=true` also garbage-collects deleted keys (safe once
+    * no replayer can deliver events with lsn below the per-bucket lineage
+    * watermark). Same snapshot mechanics. After compaction every bucket
+    * holds one resolved file, so reads skip the winner window entirely.
     */
   def compact(dropTombstones: Boolean = false): Snapshot = {
     val cur = currentSnapshot.getOrElse(
@@ -454,17 +571,7 @@ class LakeTable(
       .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")
-    val vDir = Paths.get(tablePath, "data", s"v$newVersion")
-    val newBucketFiles: Map[String, Seq[String]] =
-      Files.list(vDir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("__bucket="))
-        .map { p =>
-          val b = p.getFileName.toString.stripPrefix("__bucket=")
-          val fs = Files.list(p).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => s"$dataRel/__bucket=$b/${f.getFileName}").toSeq
-          b -> fs
-        }.toMap
+    val newBucketFiles = enumerateBucketFiles(dataRel)
     val next = cur.copy(version = newVersion, files = newBucketFiles,
       parentVersion = cur.version)
     commitSnapshot(next)

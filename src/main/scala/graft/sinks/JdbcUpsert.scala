@@ -113,8 +113,12 @@ object JdbcUpsert {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(cfg.keyColumns.map(col): _*)
       .orderBy(col("lsn").desc, (col("op") === "delete").desc, col("op").desc)
+    // checkpoint the winner set: upserts and deletes below are two
+    // separate actions, and without materialization each would re-execute
+    // the window (a key-shuffle + sort) over the batch
     val winners = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
     val deletes = winners.filter(col("op") === "delete")
       .select(cfg.keyColumns.map(col): _*)
     val upserts = winners.filter(col("op") =!= "delete").drop("op")
@@ -146,12 +150,18 @@ object JdbcUpsert {
               keyCols.map(k => s"${q(k)} = ?").mkString(" AND ")
             val st = conn.prepareStatement(sql)
             var n = 0
+            var issued = 0
             it.foreach { row =>
               keyCols.zipWithIndex.foreach { case (k, i) =>
-                st.setString(i + 1, String.valueOf(row.getAs[Any](k)))
+                // typed bind like PartitionWriter — a string bind against
+                // e.g. a BIGINT key would lean on driver-specific coercion
+                st.setObject(i + 1, jdbcValue(row.getAs[Any](k)))
               }
               n += st.executeUpdate()
-              if (n % commitEvery == 0) conn.commit()
+              issued += 1
+              // cadence counts statements, not matched rows: a run of
+              // absent keys must not commit per miss (0 % k == 0)
+              if (issued % commitEvery == 0) conn.commit()
             }
             conn.commit(); st.close()
             deleted.add(n)
@@ -257,17 +267,39 @@ object JdbcUpsert {
 
   /** ALTER TABLE ADD COLUMN for fields the table lacks (`pgsql.go:162-238`;
     * like mysql we probe metadata first, `mysql.go:179-193`, because
-    * standard SQL has no ADD COLUMN IF NOT EXISTS).
+    * standard SQL has no ADD COLUMN IF NOT EXISTS). Also WIDENS existing
+    * VARCHAR data columns when this batch carries values longer than the
+    * column: a column created VARCHAR(255) by a short-string first batch
+    * must not fail the stream when a later batch exceeds 255 (truncation
+    * SQLException with no recovery path short of manual DDL). Widening
+    * tries CLOB first (Postgres-style ALTER TYPE) and falls back to the
+    * widest VARCHAR for engines like Derby that can only grow VARCHARs.
     */
   private def ensureColumns(conn: Connection, cfg: Config,
       schema: StructType, longText: Set[String]): Unit = {
-    val existing = columnNames(conn, cfg.table)
-    schema.fields.filterNot(f => cfg.keyColumns.contains(f.name))
-      .filterNot(f => existing.contains(f.name.toLowerCase)).foreach { f =>
-        execute(conn, s"ALTER TABLE ${q(cfg.table)} ADD COLUMN " +
-          s"${q(f.name)} ${ddlType(f.dataType, f.name, cfg.keyColumns, longText)}")
+    val existing = columnMeta(conn, cfg.table)
+    val dataFields = schema.fields.filterNot(f => cfg.keyColumns.contains(f.name))
+    dataFields.filterNot(f => existing.contains(f.name.toLowerCase)).foreach { f =>
+      execute(conn, s"ALTER TABLE ${q(cfg.table)} ADD COLUMN " +
+        s"${q(f.name)} ${ddlType(f.dataType, f.name, cfg.keyColumns, longText)}")
+    }
+    dataFields.filter(f => longText.contains(f.name)).foreach { f =>
+      existing.get(f.name.toLowerCase).foreach { case (typeName, size) =>
+        if (typeName.toUpperCase.startsWith("VARCHAR") && size < WideVarchar) {
+          val alter = s"ALTER TABLE ${q(cfg.table)} ALTER COLUMN ${q(f.name)} " +
+            "SET DATA TYPE "
+          try execute(conn, alter + "CLOB")
+          catch { case _: java.sql.SQLException =>
+            execute(conn, alter + s"VARCHAR($WideVarchar)") }
+        }
       }
+    }
   }
+
+  /** Derby's VARCHAR ceiling — the fallback width when a dialect cannot
+    * ALTER a VARCHAR into CLOB.
+    */
+  private val WideVarchar = 32672
 
   private def ensureLedger(conn: Connection): Unit =
     if (!tableExists(conn, LedgerTable))
@@ -280,12 +312,16 @@ object JdbcUpsert {
     try rs.next() finally rs.close()
   }
 
-  private def columnNames(conn: Connection, table: String): Set[String] = {
+  /** lowercase column name -> (type name, size) from JDBC metadata. */
+  private def columnMeta(conn: Connection, table: String): Map[String, (String, Int)] = {
     val rs = conn.getMetaData.getColumns(null, null, table, null)
-    val out = scala.collection.mutable.Set.empty[String]
-    try { while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase }
-    finally rs.close()
-    out.toSet
+    val out = scala.collection.mutable.Map.empty[String, (String, Int)]
+    try {
+      while (rs.next())
+        out += rs.getString("COLUMN_NAME").toLowerCase ->
+          ((rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE")))
+    } finally rs.close()
+    out.toMap
   }
 
   private def execute(conn: Connection, sql: String): Unit = {
@@ -305,8 +341,24 @@ object JdbcUpsert {
     */
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** Only the duplicate-key states: 23505 (standard/Derby/Postgres) and
+    * 23000 (MySQL-style drivers report ER_DUP_ENTRY under the generic
+    * integrity-violation state). Matching all of class 23 would silently
+    * swallow e.g. a NOT NULL violation (23502) and drop the row while
+    * still counting it as written.
+    */
   private def isDuplicateKey(e: java.sql.SQLException): Boolean =
-    Option(e.getSQLState).exists(s => s == "23505" || s.startsWith("23"))
+    Option(e.getSQLState).exists(s => s == "23505" || s == "23000")
+
+  // Spark Row values are already java.sql-friendly for our ladder
+  private def jdbcValue(v: Any): AnyRef = v match {
+    case null => null
+    case b: Byte => java.lang.Long.valueOf(b.toLong)
+    case s: Short => java.lang.Long.valueOf(s.toLong)
+    case i: Int => java.lang.Long.valueOf(i.toLong)
+    case f: Float => java.lang.Double.valueOf(f.toDouble)
+    case other => other.asInstanceOf[AnyRef]
+  }
 
   /** Per-partition writer: UPDATE-then-INSERT for last-write-wins,
     * INSERT-swallow-duplicate for insert-if-absent. Keys are disjoint
@@ -352,16 +404,6 @@ object JdbcUpsert {
         insert.setObject(i + 1, jdbcValue(row.getAs[Any](c)))
       }
       insert.executeUpdate()
-    }
-
-    // Spark Row values are already java.sql-friendly for our ladder
-    private def jdbcValue(v: Any): AnyRef = v match {
-      case null => null
-      case b: Byte => java.lang.Long.valueOf(b.toLong)
-      case s: Short => java.lang.Long.valueOf(s.toLong)
-      case i: Int => java.lang.Long.valueOf(i.toLong)
-      case f: Float => java.lang.Double.valueOf(f.toDouble)
-      case other => other.asInstanceOf[AnyRef]
     }
 
     def close(): Unit = {

@@ -36,9 +36,16 @@ final class HttpIngestServer(
     endpoint: String,
     methods: Set[String],
     spoolDir: String,
-    batchSize: Int) {
+    batchSize: Int,
+    /** Byte budget for the spool buffer ≙ the reference's `bufferSize`
+      * (`internal/target/s3.go:142-155`): checked BEFORE the row-count
+      * threshold, so one oversized event flushes immediately instead of
+      * sitting in memory until `batchSize` more arrive.
+      */
+    bufferBytes: Long = 1L << 20) {
 
   private val buffer = new java.util.ArrayList[String]()
+  private var bufferedBytes = 0L // guarded by buffer lock
   private val segSeq = new AtomicLong(0L)
   private val received = new AtomicLong(0L)
   private val flushed = new AtomicLong(0L)
@@ -78,11 +85,14 @@ final class HttpIngestServer(
   }
 
   /** Graceful stop: final flush ≙ the reference's signal-handler drain
-    * (`http.go:114-117`).
+    * (`http.go:114-117`). `stop(1)` waits up to a second for in-flight
+    * exchanges — a handler racing with shutdown could otherwise append
+    * to the buffer AFTER the final flush, losing an event it already
+    * acked with 202.
     */
   def stop(): Unit = {
     ready.set(false)
-    server.stop(0)
+    server.stop(1)
     buffer.synchronized(flushLocked())
   }
 
@@ -107,7 +117,11 @@ final class HttpIngestServer(
             received.incrementAndGet()
             val didFlush = buffer.synchronized {
               buffer.add(line)
-              if (buffer.size >= batchSize) { flushLocked(); true } else false
+              bufferedBytes += line.getBytes(UTF_8).length + 1L
+              // byte budget wins over count ≙ s3.go:142-155 check order
+              if (bufferedBytes >= bufferBytes || buffer.size >= batchSize) {
+                flushLocked(); true
+              } else false
             }
             // 201 on the request that flushed, 202 while buffering
             // (≙ `http.go:164-181`)
@@ -157,6 +171,7 @@ final class HttpIngestServer(
       Files.writeString(tmp, String.join("\n", buffer) + "\n")
       Files.move(tmp, segDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       buffer.clear()
+      bufferedBytes = 0L
       flushed.incrementAndGet()
     }
 
@@ -179,6 +194,7 @@ object HttpIngestServer {
     */
   def apply(port: Int, endpoint: String, spoolDir: String,
       methods: Set[String] = Set("GET", "POST"),
-      batchSize: Int = 100): HttpIngestServer =
-    new HttpIngestServer(port, endpoint, methods, spoolDir, batchSize)
+      batchSize: Int = 100,
+      bufferBytes: Long = 1L << 20): HttpIngestServer =
+    new HttpIngestServer(port, endpoint, methods, spoolDir, batchSize, bufferBytes)
 }

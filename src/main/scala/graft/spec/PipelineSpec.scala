@@ -18,6 +18,9 @@ final case class SourceSpec(
     endpoint: String = "/ingest",
     methods: Seq[String] = Seq("GET", "POST"),
     batchSize: Int = 100, // http spool flush threshold ≙ target CanFlush
+    // http spool flush BYTE budget ≙ the reference's bufferSize
+    // (`target/s3.go:142-155`); checked before the count threshold
+    bufferSize: Long = 1L << 20,
     codec: String = "json",
     // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
     // decoded by `codec` — the draethos kafka+json shape, with DLQ)
@@ -113,11 +116,10 @@ object PipelineSpec {
     val format = str(sp, "format").getOrElse("parquet")
     if (!SourceFormats(format))
       throw new IllegalArgumentException(s"source format $format not implemented")
-    // fail fast on spec combinations that cannot be honored (rather than
-    // silently ignoring fields like the reference's dead flushInMilliseconds)
-    if (format == "jsonl" && codec != "json")
-      throw new IllegalArgumentException(
-        s"jsonl changelog requires codec json, got $codec")
+    // all three codecs dispatch on the text changelog path (json/xml via
+    // native expressions, yaml via per-partition transcode), matching the
+    // reference dispatcher `internal/context/codec.go:15-27`; parquet
+    // segments are typed and take no codec
     val trigger = str(sp, "trigger").getOrElse("availableNow")
     if (trigger != "availableNow" && ProcessingTimeRe.findFirstIn(trigger).isEmpty)
       throw new IllegalArgumentException(
@@ -129,6 +131,7 @@ object PipelineSpec {
       endpoint = str(sp, "endpoint").getOrElse("/ingest"),
       methods = strSeq(sp, "methods", Seq("GET", "POST")).map(_.toUpperCase),
       batchSize = int(sp, "batchSize").getOrElse(100),
+      bufferSize = str(sp, "bufferSize").map(_.toLong).getOrElse(1L << 20),
       codec = codec,
       format = format,
       trigger = trigger,

@@ -41,6 +41,7 @@ class CliFollowSpec extends SparkSpec {
       s"""stream:
          |  name: cli-follow
          |  checkpointDir: $root/ckpt
+         |  port: 0
          |  instance:
          |    source:
          |      type: changelog
@@ -93,6 +94,26 @@ class CliFollowSpec extends SparkSpec {
       Thread.sleep(200)
     }
     assert(java.nio.file.Files.exists(currentPtr), s"no first commit:\n$outBuf")
+
+    // ops endpoints are served for changelog pipelines too (≙ the
+    // reference's worker.go:82-90 ops server for every source type):
+    // scrape /metrics and the healthchecks mid-follow
+    val portRe = """\[graft\] ops endpoints on :(\d+)""".r
+    val opsPort = portRe.findFirstMatchIn(outBuf.synchronized(outBuf.toString))
+      .map(_.group(1).toInt)
+    assert(opsPort.isDefined, s"no ops endpoint line in output:\n$outBuf")
+    val client = java.net.http.HttpClient.newHttpClient()
+    def scrape(path: String) = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:${opsPort.get}$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(scrape("/healthcheck/liveness").statusCode() === 200)
+    assert(scrape("/healthcheck/readiness").statusCode() === 200)
+    val metrics = scrape("/metrics")
+    assert(metrics.statusCode() === 200)
+    assert(metrics.body().contains("graft_micro_batches_total"),
+      s"unexpected metrics body:\n${metrics.body()}")
+
     val batch2 = Seq(ev(4, "update", 2), ev(5, "insert", 3), ev(6, "delete", 1))
     writeSeg(logDir, 1, batch2)
 

@@ -53,6 +53,25 @@ class HttpIngestSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("byte budget wins over count: an oversized event flushes immediately") {
+    val spool = tmpDir("http-bytes")
+    // count threshold far away (100); byte budget tiny (64 B)
+    val srv = HttpIngestServer(0, "/ingest", spool, batchSize = 100,
+      bufferBytes = 64L)
+    srv.start()
+    try {
+      val p = srv.boundPort
+      val big = s"""{"blob":"${"z" * 200}"}"""
+      // ≙ internal/target/s3.go:142-155 — the byte check runs FIRST, so
+      // this single event flushes (201) instead of buffering (202)
+      assert(post(p, "/ingest", big).statusCode() === 201)
+      val segs = new java.io.File(s"$spool/seg=http").listFiles()
+      assert(segs != null && segs.length === 1, "oversized event not spooled")
+      // and a small event still buffers under both thresholds
+      assert(post(p, "/ingest", """{"a":1}""").statusCode() === 202)
+    } finally srv.stop()
+  }
+
   test("query params merge into the payload; key is md5(body)") {
     val spool = tmpDir("http-qp")
     val srv = HttpIngestServer(0, "/hook", spool, batchSize = 1)

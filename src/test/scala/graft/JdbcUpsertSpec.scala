@@ -83,6 +83,21 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(got.head.head === long)
   }
 
+  test("a VARCHAR column widens when a later batch brings longer strings") {
+    import spark.implicits._
+    val url = freshUrl("widen")
+    val cfg = JdbcUpsert.Config(url, "t_widen", keyColumns = Seq("k"))
+    // batch 1: short strings -> column created VARCHAR(255)
+    JdbcUpsert.write(Seq(("a", "short")).toDF("k", "body"), cfg)
+    // batch 2: >255 chars. Without widening this threw a truncation
+    // SQLException in the partition writer and killed the stream.
+    val long = "y" * 4000
+    JdbcUpsert.write(Seq(("a", long), ("b", long)).toDF("k", "body"), cfg)
+    val got = queryAll(url,
+      "SELECT \"k\", CAST(\"body\" AS VARCHAR(10000)) FROM \"t_widen\" ORDER BY \"k\"")
+    assert(got === Seq(Seq("a", long), Seq("b", long)))
+  }
+
   test("complex columns serialize as JSON text (JSONB analog)") {
     import spark.implicits._
     val url = freshUrl("json")

@@ -93,6 +93,33 @@ class LakeTableMorSpec extends SparkSpec {
     assert(finalKeys(Seq(Seq(del), Seq(up))) === Set.empty)
   }
 
+  test("post-compaction read is shuffle-free: single-file buckets skip the winner window") {
+    import spark.implicits._
+    val dir = tmpDir("mor-fastread")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge(Seq(ev(1, "insert", 1), ev(2, "insert", 2)).toDS().toDF(), "t", 0L)
+    lake.merge(Seq(ev(3, "update", 1), ev(4, "delete", 2)).toDS().toDF(), "t", 1L)
+
+    // multi-file buckets resolve through the window (Exchange present)
+    val multiPlan = lake.read().queryExecution.executedPlan.toString
+    assert(multiPlan.contains("Exchange") || multiPlan.contains("Window"),
+      s"pre-compaction read should resolve:\n$multiPlan")
+    val before = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    lake.compact()
+    assert(lake.currentSnapshot.get.files.values.forall(_.size <= 1))
+    val fastPlan = lake.read().queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("Exchange") && !fastPlan.contains("Window"),
+      s"compacted read must skip the winner window:\n$fastPlan")
+    // same answer either way
+    val after = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after === before)
+    assert(after === Map("p1" -> "content-3-k1"))
+  }
+
   test("time travel resolves winners as of the requested version") {
     import spark.implicits._
     val dir = tmpDir("mor-tt")
