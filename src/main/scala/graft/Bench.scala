@@ -155,8 +155,9 @@ object Bench {
     // Bound each micro-batch by BYTES, not file count: log segments are
     // single ~uniform files, so a fixed maxFilesPerTrigger ties batch
     // size to TOTAL log size — at 40M events (16 × 718 MB segments) one
-    // trigger ingested the whole 12 GB log as a single batch inside the
-    // 12 GiB child heap, and the replay collapsed into a GC/spill storm
+    // trigger ingested the whole 12 GB log as a single batch inside what
+    // was then a 12 GiB child heap (now 20 GiB — see replayIsolated),
+    // and the replay collapsed into a GC/spill storm
     // (measured: 582 s @16 vs 162 s for the same log with bounded
     // batches in a big heap). No streaming job should ingest its entire
     // backlog as one micro-batch — bounded batches are the backpressure

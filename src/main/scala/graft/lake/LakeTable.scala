@@ -514,23 +514,36 @@ class LakeTable(
     */
   private def footerMaxLsn(rel: Map[String, Seq[String]]): Map[String, Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    rel.iterator.map { case (b, fs) =>
-      val mx = fs.iterator.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.iterator
-          .flatMap { blk =>
-            blk.getColumns.asScala
-              .find(_.getPath.toDotString == LsnMeta)
-              .flatMap(cc => Option(cc.getStatistics))
-              .filter(st => !st.isEmpty && st.hasNonNullValue)
-              .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-          }.foldLeft(Long.MinValue)(math.max)
-        finally r.close()
-      }.foldLeft(Long.MinValue)(math.max)
-      b -> mx
-    }.filter(_._2 != Long.MinValue).toMap
+    def fileMax(f: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.iterator
+        .flatMap { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == LsnMeta)
+            .flatMap(cc => Option(cc.getStatistics))
+            .filter(st => !st.isEmpty && st.hasNonNullValue)
+            .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }.foldLeft(Long.MinValue)(math.max)
+      finally r.close()
+    }
+    // footer reads are ~15-20 ms each (open + tail read); serially that
+    // is a second of driver time per batch at 64 buckets — read them on
+    // a bounded pool instead (a manifest file would replace this wholesale
+    // at cluster scale)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, rel.values.map(_.size).sum)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      val futs = rel.toSeq.map { case (b, fs) =>
+        Future(b -> fs.map(fileMax).foldLeft(Long.MinValue)(math.max))
+      }
+      Await.result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+        .filter(_._2 != Long.MinValue).toMap
+    } finally pool.shutdown()
   }
 
   /** Size of a table-relative data file (0 if missing — a lost file shows
