@@ -86,9 +86,10 @@ object Bench {
         // commit the per-batch CHANGELOG instead of uploading a full
         // RocksDB snapshot every micro-batch; snapshots happen in the
         // background — removes a serial seconds-scale term from every
-        // batch's commit phase (part of the scaling-efficiency floor)
+        // batch's commit phase (part of the scaling-efficiency floor).
+        // SPARK_GRAFT_CHANGELOG=off opts out (A/B diagnosis knob).
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          "true")
+          (!sys.env.get("SPARK_GRAFT_CHANGELOG").contains("off")).toString)
     if (master.startsWith("local-cluster")) {
       // executors are fresh JVMs: they need our classes (the spark distro
       // jars come from SPARK_HOME), the JDK17 module opens, and tmpfs
