@@ -76,6 +76,24 @@ object Bench {
       // 2-4x wall to stateful micro-batches (measured); lineage integrity
       // is covered by the lake's own atomic snapshot commit
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Byte-frugal shuffle. Storage bytes are the scarce resource twice
+      // over: on a real cluster shuffle bytes are network; on THIS box the
+      // hypervisor throttles first-touch page provisioning to ~13 MB/s
+      // (measured: dd to tmpfs 13 MB/s fresh vs 618-949 MB/s on recycled
+      // pages — BENCH.md "Host page throttle"), so every shuffle byte
+      // written to a fresh page costs ~50x a recycled one.
+      //  - zstd halves shuffle/spill bytes vs lz4 on this envelope data;
+      .config("spark.io.compression.codec", "zstd")
+      //  - the bypass writer writes partition files then CONCATENATES them
+      //    into the final map output - every shuffle byte hits storage
+      //    twice; forcing the serialized (Unsafe) writer buffers in
+      //    execution memory and writes once;
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      //  - shuffle files of completed micro-batches are deleted only when
+      //    their ShuffleDependency is GC'd (default periodic GC 30 min -
+      //    an entire replay's shuffles pile up); a 60s cadence recycles
+      //    their pages while the replay still runs.
+      .config("spark.cleaner.periodicGC.interval", "60s")
     // RocksDB keyed-state store by default: the dedup state is one Long
     // per live key, which the in-memory HDFS provider holds entirely on
     // heap — at 10^10 keys that dies; RocksDB spills to local disk and

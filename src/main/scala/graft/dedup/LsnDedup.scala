@@ -10,6 +10,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class KeyProgress(maxEmittedLsn: Long)
 
+/** Skinny dedup row for the late-materialization pipeline: the dedup
+  * shuffle carries only the ordering fields plus a (file, row-index)
+  * handle into the batch's parquet files; winner payloads (content,
+  * commit, drift map, …) are re-fetched AFTER dedup by a broadcast
+  * semi-join against the page-cached batch files (`CdcJob.start`). With
+  * wide payloads and hot keys (10^10-event CDC: ~100 updates per key per
+  * batch) this cuts the key-shuffle volume ~10× — shuffle what you
+  * deduplicate, fetch payloads late.
+  */
+final case class SkinnyEvent(
+    lsn: Long, op: String, repo: String, path: String,
+    file: String, idx: Long)
+
+object SkinnyEvent {
+  implicit val encoder: Encoder[SkinnyEvent] = Encoders.product[SkinnyEvent]
+  implicit val keyed: LsnDedup.LsnKeyed[SkinnyEvent] =
+    new LsnDedup.LsnKeyed[SkinnyEvent] {
+      def repo(e: SkinnyEvent): String = e.repo
+      def path(e: SkinnyEvent): String = e.path
+      def lsn(e: SkinnyEvent): Long = e.lsn
+      def isDelete(e: SkinnyEvent): Boolean = e.op == ChangeEvent.Delete
+    }
+}
+
 /** Commit-sequence dedup — the idempotence/ordering layer the reference
   * lacks entirely (draethos is order-blind and at-least-once; duplicates
   * are absorbed only by key-idempotent sinks, `internal/source/kafka.go:
@@ -28,6 +52,10 @@ final case class KeyProgress(maxEmittedLsn: Long)
   *    and the final merged state equals the one-batch oracle reducer
   *    regardless of delivery order or duplication.
   *
+  * The dedup is generic over the row type via [[LsnDedup.LsnKeyed]]: the
+  * fat pipeline runs it on full [[ChangeEvent]]s, the skinny pipeline on
+  * [[SkinnyEvent]] handles (same state, same semantics, ~10× less shuffle).
+  *
   * State is hash-partitioned by key (shuffle #1 of the pipeline) and
   * checkpointed by the engine — resume-safe. At 10^10 scale the state is
   * one Long per live key; bench/CLI sessions run the **RocksDB state
@@ -43,17 +71,34 @@ final case class KeyProgress(maxEmittedLsn: Long)
   */
 object LsnDedup {
 
+  /** Field access the dedup needs, abstracted over the row type. Instances
+    * are tiny and serializable (they ride task closures).
+    */
+  trait LsnKeyed[T] extends Serializable {
+    def repo(t: T): String
+    def path(t: T): String
+    def lsn(t: T): Long
+    def isDelete(t: T): Boolean
+  }
+
   implicit val keyProgressEnc: Encoder[KeyProgress] = Encoders.product[KeyProgress]
   implicit val keyEnc: Encoder[(String, String)] =
     Encoders.tuple(Encoders.STRING, Encoders.STRING)
 
-  def apply(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
-    implicit val evEnc: Encoder[ChangeEvent] = ChangeEvent.encoder
+  implicit val changeEventKeyed: LsnKeyed[ChangeEvent] =
+    new LsnKeyed[ChangeEvent] {
+      def repo(e: ChangeEvent): String = e.repo
+      def path(e: ChangeEvent): String = e.path
+      def lsn(e: ChangeEvent): Long = e.lsn
+      def isDelete(e: ChangeEvent): Boolean = e.op == ChangeEvent.Delete
+    }
+
+  def apply[T](events: Dataset[T])(
+      implicit enc: Encoder[T], k: LsnKeyed[T]): Dataset[T] =
     preCombine(events)
-      .groupByKey(e => (e.repo, e.path))
+      .groupByKey(e => (k.repo(e), k.path(e)))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        dedupGroup)
-  }
+        dedupGroup[T])
 
   /** Partition-local pre-reduce (map-side combiner): keep only each key's
     * winner within an input partition before the key shuffle. Winner-max
@@ -63,16 +108,15 @@ object LsnDedup {
     * capacity-capped and flushed so task memory stays bounded at any
     * scale (a flush only means some extra rows shuffle — still correct).
     */
-  private[graft] def preCombine(events: Dataset[ChangeEvent],
-      cap: Int = 1 << 16): Dataset[ChangeEvent] = {
-    implicit val evEnc: Encoder[ChangeEvent] = ChangeEvent.encoder
+  private[graft] def preCombine[T](events: Dataset[T], cap: Int = 1 << 16)(
+      implicit enc: Encoder[T], k: LsnKeyed[T]): Dataset[T] =
     events.mapPartitions { it =>
-      val m = new java.util.HashMap[(String, String), ChangeEvent](1 << 12)
-      val flushed = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val m = new java.util.HashMap[(String, String), T](1 << 12)
+      val flushed = scala.collection.mutable.ArrayBuffer.empty[T]
       it.foreach { e =>
-        val k = (e.repo, e.path)
-        val cur = m.get(k)
-        if (cur == null || beats(e, cur)) m.put(k, e)
+        val key = (k.repo(e), k.path(e))
+        val cur = m.get(key)
+        if (cur == null || beats(e, cur)) m.put(key, e)
         if (m.size > cap) {
           m.values.forEach(v => { flushed += v; () })
           m.clear()
@@ -81,15 +125,14 @@ object LsnDedup {
       m.values.forEach(v => { flushed += v; () })
       flushed.iterator
     }
-  }
 
   /** Winner order: higher lsn wins; on an equal-lsn tie the delete wins —
     * the same tie-break as the lake's merge/resolve windows, so the dedup
     * layer can never mask a tombstone the merge would have preferred.
     */
-  private def beats(a: ChangeEvent, b: ChangeEvent): Boolean =
-    a.lsn > b.lsn ||
-      (a.lsn == b.lsn && a.op == ChangeEvent.Delete && b.op != ChangeEvent.Delete)
+  private def beats[T](a: T, b: T)(implicit k: LsnKeyed[T]): Boolean =
+    k.lsn(a) > k.lsn(b) ||
+      (k.lsn(a) == k.lsn(b) && k.isDelete(a) && !k.isDelete(b))
 
   /** Batch analog (for tests / batch replay): same semantics, no state. */
   def batch(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
@@ -120,18 +163,19 @@ object LsnDedup {
     * tombstone the lake's delete-wins tie-break would have preferred,
     * making final state depend on batching.
     */
-  private[graft] def dedupGroup(
+  private[graft] def dedupGroup[T](
       key: (String, String),
-      events: Iterator[ChangeEvent],
-      state: GroupState[KeyProgress]): Iterator[ChangeEvent] = {
+      events: Iterator[T],
+      state: GroupState[KeyProgress])(
+      implicit k: LsnKeyed[T]): Iterator[T] = {
     val already = state.getOption.map(_.maxEmittedLsn).getOrElse(Long.MinValue)
-    var winner: ChangeEvent = null
+    var winner: T = null.asInstanceOf[T]
     var max = already
     events.foreach { e =>
-      val beats = e.lsn > max ||
-        (e.lsn == max && e.op == ChangeEvent.Delete &&
-          (winner == null || winner.op != ChangeEvent.Delete))
-      if (beats) { max = e.lsn; winner = e }
+      val beats = k.lsn(e) > max ||
+        (k.lsn(e) == max && k.isDelete(e) &&
+          (winner == null || !k.isDelete(winner)))
+      if (beats) { max = k.lsn(e); winner = e }
     }
     if (winner != null) {
       if (max > already) state.update(KeyProgress(max))

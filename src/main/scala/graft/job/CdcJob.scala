@@ -1,6 +1,6 @@
 package graft.job
 
-import graft.dedup.LsnDedup
+import graft.dedup.{LsnDedup, SkinnyEvent}
 import graft.envelope.ChangeEvent
 import graft.lake.{LakeTable, MergeStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,6 +33,15 @@ final case class CdcJobConfig(
     // copy): json | xml (native expressions) | yaml (transcoded to JSON
     // per partition, then the JSON path)
     codec: String = "json",
+    // what the dedup key-shuffle carries (parquet changelogs only):
+    //  - "skinny" (default): ordering fields + a (file, row-index) handle;
+    //    winner payloads are re-materialized after dedup by a broadcast
+    //    semi-join against the page-cached batch files. ~10× less shuffle
+    //    under CDC duplication (many updates per key per batch).
+    //  - "full": rows carry their payload through the shuffle — the right
+    //    shape when keys/batch ≈ rows/batch (no duplication to exploit)
+    //    or when re-reading the source is expensive (remote cold store).
+    carry: String = "skinny",
     // runId-agnostic identity of this pipeline for the exactly-once ledger
     checkpointId: String = "cdc",
     // when set, micro-batches upsert into a JDBC table (≙ the reference's
@@ -79,9 +88,102 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
 
   /** Build (but do not await) the streaming query. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import spark.implicits._
     if (cfg.jdbcSink.isEmpty) lake.createIfAbsent(baseSchema)
+    if (cfg.carry == "skinny" && cfg.format == "parquet") startSkinny(trigger)
+    else startFull(trigger)
+  }
 
+  /** Skinny pipeline (parquet changelogs): the dedup key-shuffle carries
+    * only `(lsn, op, repo, path)` plus a `(file, row-index)` handle —
+    * ~70 B/row instead of the full payload (content alone is ~400 B).
+    * Winner payloads are re-materialized AFTER dedup by [[refetch]]. Under
+    * CDC duplication (the 10^10-event log averages ~100 updates per key
+    * per 10M-row batch) this cuts the pipeline's dominant shuffle ~10×;
+    * the payload re-read is a page-cached scan the cluster already paid
+    * for. "Shuffle what you deduplicate; fetch payloads late."
+    */
+  private def startSkinny(trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
+    val skinny = spark.readStream
+      .schema(ChangeEvent.schema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(s"${cfg.logDir}/seg=*")
+      .select(col("lsn"), col("op"), col("repo"), col("path"),
+        col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("idx"))
+      .as[SkinnyEvent]
+    LsnDedup(skinny).writeStream
+      .queryName(s"graft-cdc-${cfg.checkpointId}")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SkinnyEvent], batchId: Long) =>
+        sinkBatch(batchId)(() => refetch(batch))
+      }
+      .start()
+  }
+
+  /** Re-materialize full winner rows from the batch's parquet files: the
+    * winner set (≤ one row per live key per batch — small) is collected
+    * once via a cheap `localCheckpoint`, its distinct files (≤
+    * maxFilesPerTrigger) drive a page-cached batch re-read, and a
+    * broadcast LEFT SEMI join on `(file, row-index)` selects exactly the
+    * winning rows — codegen'd, zero additional shuffle. Deletes and drift
+    * `extra` maps ride along like any other row.
+    */
+  private def refetch(batch: org.apache.spark.sql.Dataset[SkinnyEvent]): DataFrame = {
+    // one compute of the stateful upstream; the winners are tiny (≤ live
+    // keys per batch), so this checkpoint is KBs–MBs, not the batch
+    val w = batch.toDF().localCheckpoint()
+    val files = w.select("file").distinct().collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChangeEvent.schema)
+    else
+      spark.read.schema(ChangeEvent.schema).parquet(files.toSeq: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as("__file"),
+          col("_metadata.row_index").as("__idx"))
+        .join(broadcast(w.select(col("file").as("__file"), col("idx").as("__idx"))),
+          Seq("__file", "__idx"), "leftsemi")
+        .withColumn("extra", coalesce(col("extra"), map()))
+  }
+
+  /** Ledger-gated sink dispatch shared by both carry pipelines: skip
+    * crash-replayed batches entirely (exactly-once for the DLQ and stats,
+    * not just the table), otherwise materialize the batch and apply it.
+    */
+  private def sinkBatch(batchId: Long)(materialize: () => DataFrame): Unit = {
+    val applied = cfg.jdbcSink match {
+      case Some(j) => graft.sinks.JdbcUpsert.isApplied(j.url, cfg.checkpointId, batchId)
+      case None => lake.isApplied(cfg.checkpointId, batchId)
+    }
+    if (applied) {
+      stats.add(MergeStats(
+        if (cfg.jdbcSink.isDefined) -1L else lake.currentVersion.getOrElse(-1L),
+        batchId, skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
+      ()
+    } else {
+      val good = materialize()
+      cfg.jdbcSink match {
+        case Some(j) => stats.add(applyJdbc(good, j, batchId))
+        case None =>
+          // preReduced: LsnDedup emits at most one winner per key per
+          // micro-batch, so the merge can skip its winner window (a
+          // whole key-shuffle + sort per batch)
+          stats.add(lake.merge(good, cfg.checkpointId, batchId,
+            preReduced = true))
+      }
+      ()
+    }
+  }
+
+  /** Full-payload pipeline: rows carry their payload through the dedup
+    * shuffle. Used for text changelogs (no parquet row index to refetch
+    * by) and `carry = "full"`.
+    */
+  private def startFull(trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
     val events: org.apache.spark.sql.Dataset[ChangeEvent] = cfg.format match {
       case "parquet" =>
         spark.readStream
@@ -122,51 +224,28 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         throw new IllegalArgumentException(s"changelog format $other not implemented")
     }
 
-    val deduped = LsnDedup(events)
-
-    deduped.writeStream
+    LsnDedup(events).writeStream
       .queryName(s"graft-cdc-${cfg.checkpointId}")
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeEvent], batchId: Long) =>
-        val applied = cfg.jdbcSink match {
-          case Some(j) => graft.sinks.JdbcUpsert.isApplied(j.url, cfg.checkpointId, batchId)
-          case None => lake.isApplied(cfg.checkpointId, batchId)
+        sinkBatch(batchId) { () =>
+          if (cfg.format == "jsonl") {
+            // materialize once so the DLQ split doesn't re-execute the
+            // stateful upstream; parquet-format batches skip these jobs.
+            // Crash-replayed batches never reach here (sinkBatch gates on
+            // the ledger), so the DLQ stays exactly-once like the table.
+            val df = batch.toDF().localCheckpoint()
+            cfg.dlqDir.foreach { dir =>
+              df.filter(col("op") === DlqOp)
+                .select(col("content").as("raw"),
+                  current_timestamp().as("dlq_ts"))
+                .write.mode("append").parquet(dir)
+            }
+            df.filter(col("op") =!= DlqOp)
+          } else batch.toDF()
         }
-        if (applied) {
-          // crash-replayed batch: skip the DLQ append too, so the DLQ is
-          // exactly-once like the table (gating only the merge would
-          // re-append the same bad rows on every replay)
-          stats.add(MergeStats(
-            if (cfg.jdbcSink.isDefined) -1L else lake.currentVersion.getOrElse(-1L),
-            batchId, skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
-        } else {
-          val good =
-            if (cfg.format == "jsonl") {
-              // materialize once so the DLQ split doesn't re-execute the
-              // stateful upstream; parquet-format batches skip these jobs
-              val df = batch.toDF().localCheckpoint()
-              cfg.dlqDir.foreach { dir =>
-                df.filter(col("op") === DlqOp)
-                  .select(col("content").as("raw"),
-                    current_timestamp().as("dlq_ts"))
-                  .write.mode("append").parquet(dir)
-              }
-              df.filter(col("op") =!= DlqOp)
-            } else batch.toDF()
-          cfg.jdbcSink match {
-            case Some(j) =>
-              stats.add(applyJdbc(good, j, batchId))
-            case None =>
-              // preReduced: LsnDedup emits at most one winner per key per
-              // micro-batch, so the merge can skip its winner window (a
-              // whole key-shuffle + sort per batch)
-              stats.add(lake.merge(good, cfg.checkpointId, batchId,
-                preReduced = true))
-          }
-        }
-        ()
       }
       .start()
   }
