@@ -62,7 +62,22 @@ object Bench {
     val b = SparkSession.builder()
       .master(master)
       .appName(name)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // shuffle/state partitions track the level's cores (weak scaling —
+      // each cluster size is tuned as an operator would tune it; state
+      // layout is only checkpoint-pinned on RESUME, and each level runs
+      // its own fresh checkpoint). Measured alternatives both lose: a
+      // fixed 32 at both levels costs the 16-core level ~2 s/batch (a
+      // second wave of RocksDB instance open/commit per stateful stage:
+      // 48.5 s vs 38.6 s wall, efficiency 0.61 → 0.47); partitions ≪
+      // cores idles the stateful stage. SPARK_GRAFT_SHUFFLE_PARTS
+      // overrides for A/B.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString))
+      // one RocksDB get per put just to maintain a row-count metric —
+      // measured in allUpdatesTimeMs on every batch; the dedup state
+      // needs no exact row count
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -169,6 +184,19 @@ object Bench {
               f"tasks=${i.numTasks}%4d ${i.name.take(70)}")
           }
         })
+    if (stageProfile)
+      // full progress JSON per micro-batch: durationMs breakdown
+      // (walCommit/stateCommit/addBatch/queryPlanning) + state operator
+      // commit times — the driver-side costs no stage ever shows
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          System.err.println(s"[progress] ${e.progress.json}")
+      })
     val listener = new MetricsListener(verbose = false)
     spark.streams.addListener(listener)
     // Bound each micro-batch by BYTES, not file count: log segments are
@@ -181,18 +209,31 @@ object Bench {
     // batches in a big heap). No streaming job should ingest its entire
     // backlog as one micro-batch — bounded batches are the backpressure
     // analog of the reference's batchSize (`pgsql.go:120-125`).
-    // ~3 GB of parquet (~10M events) per batch: large enough that the
-    // per-batch serial floor (planning, state-commit coordination,
-    // snapshot commit — ~4 s measured) stays small against per-batch
-    // work at BOTH levels, small enough to fit the child heap
+    // ~6 GB of parquet (~20M events) per batch: large enough that the
+    // per-batch fixed floor (planning, per-fsync hypervisor latency on
+    // offset WAL + state changelog commits, bucketed-write task overhead
+    // — ~1.5-2.5 s measured at 16 cores) stays small against per-batch
+    // work at BOTH levels; memory-safe because the skinny pipeline never
+    // materializes payloads through the dedup shuffle (the r2 3 GB bound
+    // protected a localCheckpoint of the FULL batch, which no longer
+    // exists)
+    // 6e9 measured WORSE at 16 threads (single shared heap: the scan
+    // stage alone paid 22 s of GC on a 23M-row batch; a real cluster's
+    // per-executor heaps would absorb it, one JVM's collector does not)
     val targetBatchBytes = sys.env.get("SPARK_GRAFT_BATCH_BYTES")
       .map(_.toDouble).getOrElse(3e9)
     val mft = sys.env.get("SPARK_GRAFT_MFT").map(_.toInt).getOrElse {
       val sizes = segmentFileSizes(logDir)
       if (sizes.isEmpty) 16
       else {
-        val avg = sizes.sum.toDouble / sizes.size
-        math.max(1, math.min(sizes.size, (targetBatchBytes / avg).toInt))
+        // balance triggers: pick the batch COUNT from the byte budget,
+        // then spread files evenly across triggers. Naive floor(target/avg)
+        // left a straggler trigger of a single near-empty tail file — a
+        // full per-batch floor (planning + 2×32-instance state commit +
+        // bucketed write) spent on ~no rows.
+        val nBatches = math.max(1,
+          math.ceil(sizes.sum.toDouble / targetBatchBytes).toInt)
+        math.max(1, math.ceil(sizes.size.toDouble / nBatches).toInt)
       }
     }
     val cfg = CdcJobConfig(
@@ -237,6 +278,12 @@ object Bench {
     // never multiplied
     jvmArgs.forEach(a => if (!a.startsWith("-Xmx") && !a.startsWith("-Xms")) cmd.add(a))
     cmd.add("-Xmx20g")
+    // NO -Xms/-XX:+AlwaysPreTouch: committing the heap upfront makes G1
+    // touch heap-wide metadata at JVM start, which under the hypervisor's
+    // throttled first-touch page provisioning costs MINUTES (measured:
+    // -Xms20g slowed every replay ~6x, -Xms48g+pretouch cost 322 CPU-min).
+    // The 4M-event warm-up replay grows and recycles the heap off-clock
+    // instead.
     // GC parallelism follows the level's compute parallelism — on a real
     // cluster a 4N-executor fleet brings 4x the GC threads of N, and a
     // fixed count turns the higher level into a GC benchmark (measured:
@@ -323,7 +370,7 @@ object Bench {
       // The log is a pure function of (seed, config), so it is cached on
       // tmpfs across bench invocations within this boot.
       val cachedLog = s"$shmRoot/graft-benchlog-$nEvents-s42-rg16"
-      val cachedWarm = s"$shmRoot/graft-benchlog-warm200k-s42-rg16"
+      val cachedWarm = s"$shmRoot/graft-benchlog-warm4m-s42-rg16"
       def haveMarker(d: String) = new java.io.File(s"$d/_GRAFT_DONE").isFile
       def mark(d: String) =
         java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/_GRAFT_DONE"), "ok")
@@ -333,13 +380,20 @@ object Bench {
           rmTree(new java.io.File(cachedLog))
           ChangeLogGenerator.writeSegments(gen, cachedLog, ChangeLogGenerator.Config(
             nEvents = nEvents, nRepos = 500, pathsPerRepo = 200,
-            numSegments = 16, zipfExponent = 2.0))
+            // ~2.5M events (~720 MB parquet) per segment at any log size
+            numSegments = math.max(4, (nEvents / 2500000L).toInt),
+            zipfExponent = 2.0))
           mark(cachedLog)
         }
         if (!haveMarker(cachedWarm)) {
           rmTree(new java.io.File(cachedWarm))
+          // 4M events (~1.2 GB): big enough that the warm-up replay grows
+          // the child heap to steady state and C2-compiles every hot loop
+          // (a 200k-event warm-up left the first TIMED batch paying ~6-11 s
+          // of heap-expansion + JIT cold cost — a fixed term that lands
+          // 4x harder on the 4N level's ratio)
           ChangeLogGenerator.writeSegments(gen, cachedWarm, ChangeLogGenerator.Config(
-            nEvents = 200000, nRepos = 100, pathsPerRepo = 50,
+            nEvents = 4000000, nRepos = 500, pathsPerRepo = 200,
             numSegments = 4, zipfExponent = 2.0))
           mark(cachedWarm)
         }

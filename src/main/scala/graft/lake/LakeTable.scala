@@ -379,7 +379,11 @@ class LakeTable(
     //    drift keys (auto-ALTER ≙ pgsql.go:162-238; bounded by schema
     //    width — tiny) are accumulated DURING the single write job, so the
     //    commit needs no separate stats job and no localCheckpoint pass.
-    val obs = Observation()
+    // stable metric name (fresh instance per call): Observation() invents
+    // a UUID name, which lands in the CollectMetrics plan node and makes
+    // every micro-batch's write plan textually unique — defeating plan/
+    // codegen caches that key on the generated source
+    val obs = Observation("graft_merge")
     val obsExprs: Seq[Column] = Seq(
       count(lit(1)).as("n"),
       sum(when(!col(DeletedMeta), 1L).otherwise(0L)).as("ups")) ++
@@ -408,8 +412,17 @@ class LakeTable(
       else pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
     val newVersion = cur.version + 1
     val deltaRel = s"data/v$newVersion/delta"
+    // write parallelism ∝ the fleet, not the bucket count: `partitionBy`
+    // routes rows into per-bucket directories regardless of task count
+    // (a task holding k buckets writes k files — file layout is identical),
+    // so launching one task per bucket only multiplies task/commit/writer
+    // fixed costs when buckets ≫ cores. 2× cores keeps every core busy
+    // under mild bucket-hash skew; the salt (cores ≫ buckets case) still
+    // raises the ceiling so no single task serializes a hot bucket.
+    val writeParts = math.max(1, math.min(numBuckets * saltFactor,
+      spark.sparkContext.defaultParallelism * 2))
     projected
-      .repartition(numBuckets * saltFactor, col("__bucket"), saltCol)
+      .repartition(writeParts, col("__bucket"), saltCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$deltaRel")
