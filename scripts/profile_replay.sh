@@ -13,6 +13,6 @@ warm=/dev/shm/graft-benchlog-warm4m-s42-rg16
 opens="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 rm -rf "$out/work$cores"
 SPARK_GRAFT_STAGE_PROFILE=1 \
-java $opens -Xmx20g -XX:ParallelGCThreads=$((cores>4?cores:4)) \
+java $opens -Xmx20g -XX:MaxHeapFreeRatio=100 -XX:ParallelGCThreads=$((cores>4?cores:4)) \
   -Dspark.ui.enabled=false -cp "$cp" graft.Bench __replay "$cores" \
   "$log" "$out/work$cores" "$warm" 2> "$out/prof$cores.log"

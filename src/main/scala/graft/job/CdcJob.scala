@@ -24,6 +24,12 @@ final case class CdcJobConfig(
     keyCols: Seq[String] = ChangeEvent.keyCols,
     numBuckets: Int = 32,
     maxFilesPerTrigger: Int = 2,
+    // when set, micro-batches are bounded by BYTES of source files instead
+    // of file count — the backpressure knob that stays correct when
+    // segment sizes vary (a file-count bound ties batch size to segment
+    // layout). Maps to the file source's `maxBytesPerTrigger`; overrides
+    // maxFilesPerTrigger when both are set.
+    maxBytesPerTrigger: Option[Long] = None,
     // changelog encoding: "parquet" (typed segments) or "jsonl" (raw text
     // lines decoded by `codec` — the draethos kafka shape; malformed
     // lines DLQ)
@@ -80,6 +86,16 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     out.toSeq
   }
 
+  /** Micro-batch bound on the file source: bytes when configured (the
+    * knob that stays meaningful across segment layouts), else file count.
+    */
+  private def bounded(r: org.apache.spark.sql.streaming.DataStreamReader)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    cfg.maxBytesPerTrigger match {
+      case Some(b) => r.option("maxBytesPerTrigger", b)
+      case None => r.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    }
+
   /** Marker op for malformed-envelope rows riding the stream to the DLQ.
     * They are keyed by content hash, so redelivered bad lines dedup like
     * any other event (lsn pinned to 0).
@@ -104,9 +120,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     */
   private def startSkinny(trigger: Trigger): StreamingQuery = {
     import spark.implicits._
-    val skinny = spark.readStream
-      .schema(ChangeEvent.schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    val skinny = bounded(spark.readStream.schema(ChangeEvent.schema))
       .parquet(s"${cfg.logDir}/seg=*")
       .select(col("lsn"), col("op"), col("repo"), col("path"),
         col("_metadata.file_path").as("file"),
@@ -186,9 +200,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     import spark.implicits._
     val events: org.apache.spark.sql.Dataset[ChangeEvent] = cfg.format match {
       case "parquet" =>
-        spark.readStream
-          .schema(ChangeEvent.schema)
-          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+        bounded(spark.readStream.schema(ChangeEvent.schema))
           .parquet(s"${cfg.logDir}/seg=*")
           .withColumn("extra", coalesce(col("extra"), map()))
           .as[ChangeEvent]
@@ -201,8 +213,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         // (codegen'd); yaml — which has no SQL expression — transcodes to
         // JSON lines per partition and rides the same path, so malformed
         // yaml reaches the DLQ as the original line too.
-        val raw0 = spark.readStream
-          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+        val raw0 = bounded(spark.readStream)
           .text(s"${cfg.logDir}/seg=*")
         val raw =
           if (cfg.codec == "yaml") CdcJob.yamlToJsonLines(spark, raw0) else raw0

@@ -29,6 +29,9 @@ final case class SourceSpec(
     // (tail forever ≙ the reference's poll loop, kafka.go:84)
     trigger: String = "availableNow",
     maxFilesPerTrigger: Int = 2,
+    // byte-bounded micro-batches (overrides maxFilesPerTrigger when set):
+    // the backpressure knob that stays meaningful across segment layouts
+    maxBytesPerTrigger: Option[Long] = None,
     configurations: Map[String, String] = Map.empty) {
 
   /** Tail interval in ms when trigger is processingTime, else None. */
@@ -136,6 +139,7 @@ object PipelineSpec {
       format = format,
       trigger = trigger,
       maxFilesPerTrigger = int(sp, "maxFilesPerTrigger").getOrElse(2),
+      maxBytesPerTrigger = str(sp, "maxBytesPerTrigger").map(_.toLong),
       configurations = strMap(sp, "configurations"))
   }
 

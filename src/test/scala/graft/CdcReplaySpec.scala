@@ -67,6 +67,33 @@ class CdcReplaySpec extends SparkSpec {
     assert(diff === 0L, s"$diff rows differ between carry modes")
   }
 
+  test("byte-bounded micro-batches (maxBytesPerTrigger) converge to the oracle") {
+    val cfg = ChangeLogGenerator.Config(nEvents = 10000L, nRepos = 40,
+      pathsPerRepo = 20, numSegments = 8)
+    val logDir = tmpDir("bytelog")
+    ChangeLogGenerator.writeSegments(spark, logDir, cfg)
+    val segBytes = new java.io.File(logDir).listFiles()
+      .filter(_.getName.startsWith("seg="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(_.length()).sum
+    val job = CdcJob(spark, CdcJobConfig(
+      logDir = logDir, tablePath = tmpDir("bytelake"),
+      checkpointDir = tmpDir("byteckpt"),
+      // budget ≈ a third of the log: expect ≥ 3 micro-batches, each
+      // bounded by bytes, not by the 8-file segment layout
+      maxBytesPerTrigger = Some(math.max(1L, segBytes / 3)),
+      checkpointId = "bytes"))
+    val stats = job.runToCompletion()
+    assert(stats.count(_.inputRows > 0) >= 3,
+      s"expected >=3 byte-bounded batches, got ${stats.map(_.inputRows)}")
+    val got = job.lake.read().select(col("repo"), col("path"),
+      sha2(col("content"), 256).as("sha"))
+    val want = ChangeLogGenerator.oracleFinalState(spark, cfg)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+  }
+
   test("schema drift auto-ALTERs the lake schema; old rows read NULL") {
     // many keys, few events per key: some keys' final write lands before
     // the drift point (NULL drift cols), others after (populated).
