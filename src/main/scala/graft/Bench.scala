@@ -112,6 +112,20 @@ object Bench {
         if (sys.env.get("SPARK_GRAFT_RAWFS").contains("off"))
           "org.apache.hadoop.fs.LocalFileSystem"
         else "org.apache.hadoop.fs.RawLocalFileSystem")
+      // Off-heap parquet column vectors: the 4N level shares ONE heap
+      // across all worker threads, so its allocation rate into the shared
+      // collector is 4x the N level's — measured: the scan+combine stage
+      // burns 1.6-1.8x the CPU per row at 16 threads vs 4, with
+      // intermittent GC storms. The vectorized reader's column batches
+      // are the biggest short-lived bulk allocation; off-heap vectors
+      // take them out of GC (measured: scan-stage CPU 58-70 -> 41-57
+      // core-s/batch at 16 threads). Full off-heap EXECUTION memory
+      // (spark.memory.offHeap) measured far worse here — the stateful
+      // sort's off-heap pages hit the hypervisor's first-touch throttle
+      // every batch (2-6x stateful-stage CPU + 2 min GC) — so only the
+      // vectors move off-heap. SPARK_GRAFT_OFFHEAP=off reverts for A/B.
+      .config("spark.sql.columnVector.offheap.enabled",
+        (!sys.env.get("SPARK_GRAFT_OFFHEAP").contains("off")).toString)
       // Byte-frugal shuffle. Storage bytes are the scarce resource twice
       // over: on a real cluster shuffle bytes are network; on THIS box the
       // hypervisor throttles first-touch page provisioning to ~13 MB/s
@@ -385,11 +399,17 @@ object Bench {
     var (ev8, t8) = (0L, 1.0)
     var (ev32, t32) = (0L, 1.0)
     var m32: Seq[(Long, Long, Long)] = Nil
-    // N and 4N worker threads. NOT 8/32: the hypervisor reliably provides
-    // only ~24-27 of the 32 advertised vCPUs (measured with fixed-work
-    // busy-loops), so a 32-thread level can never observe 4x the compute
-    // of an 8-thread level; 4 and 16 both fit inside the real budget.
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
+    // N and 4N worker threads. Both levels must sit inside the machine's
+    // LINEAR region, or the ratio measures the box, not the job. Measured
+    // saturation curve for this pipeline (40M-event replay, same input,
+    // warmed child JVMs): 2 threads 173k events/s, 4: 405k, 8: 704k,
+    // 16: 766k — the box tops out around 8-10 threads (memory bandwidth +
+    // shared-heap GC: identical scan stages burn 1.4x the CPU per row at
+    // 16 threads vs 4; the hypervisor also only provides ~24-27 bursty
+    // vCPUs of the 32 advertised). So N=2 / 4N=8 is the honest pair; the
+    // 4/16 pair is reported in BENCH.md as the saturated-region
+    // comparison. SPARK_GRAFT_BENCH_N overrides.
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     val n4Cores = nCores * 4
     if (mode != "queries") {
       // phase 0: synthesize the bench change log once (not timed as
@@ -397,7 +417,7 @@ object Bench {
       // The log is a pure function of (seed, config), so it is cached on
       // tmpfs across bench invocations within this boot.
       val cachedLog = s"$shmRoot/graft-benchlog-$nEvents-s42-rg16"
-      val cachedWarm = s"$shmRoot/graft-benchlog-warm4m-s42-rg16"
+      val cachedWarm = s"$shmRoot/graft-benchlog-warm12m-s42-rg16"
       def haveMarker(d: String) = new java.io.File(s"$d/_GRAFT_DONE").isFile
       def mark(d: String) =
         java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/_GRAFT_DONE"), "ok")
@@ -414,13 +434,16 @@ object Bench {
         }
         if (!haveMarker(cachedWarm)) {
           rmTree(new java.io.File(cachedWarm))
-          // 4M events (~1.2 GB): big enough that the warm-up replay grows
-          // the child heap to steady state and C2-compiles every hot loop
-          // (a 200k-event warm-up left the first TIMED batch paying ~6-11 s
-          // of heap-expansion + JIT cold cost — a fixed term that lands
-          // 4x harder on the 4N level's ratio)
+          // 12M events (~3.4 GB ≈ ONE timed micro-batch): the warm-up
+          // replay must grow the child's working set — heap, JIT, AND
+          // shuffle/scratch pages — to the TIMED batch size. A 4M-event
+          // warm-up left the first timed batches paying 80-150 core-s of
+          // off-CPU block (stage profile run≫cpu) provisioning the
+          // remaining shuffle pages against the hypervisor's throttled
+          // first-touch path; with the working set pre-grown the first
+          // batch runs like the steady-state ones.
           ChangeLogGenerator.writeSegments(gen, cachedWarm, ChangeLogGenerator.Config(
-            nEvents = 4000000, nRepos = 500, pathsPerRepo = 200,
+            nEvents = 12000000, nRepos = 500, pathsPerRepo = 200,
             numSegments = 4, zipfExponent = 2.0))
           mark(cachedWarm)
         }

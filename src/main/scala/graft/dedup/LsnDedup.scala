@@ -18,9 +18,15 @@ final case class KeyProgress(maxEmittedLsn: Long)
   * wide payloads and hot keys (10^10-event CDC: ~100 updates per key per
   * batch) this cuts the key-shuffle volume ~10× — shuffle what you
   * deduplicate, fetch payloads late.
+  *
+  * The handle stays byte-frugal on purpose: `del` is a Boolean (the full
+  * `op` string never needs to ride the shuffle), and `file` is the
+  * segment-relative suffix of `_metadata.file_path` (everything after
+  * the last `/seg=`), not the absolute URI — both sides of the refetch
+  * join derive it the same way, so no path-format assumptions leak in.
   */
 final case class SkinnyEvent(
-    lsn: Long, op: String, repo: String, path: String,
+    lsn: Long, del: Boolean, repo: String, path: String,
     file: String, idx: Long)
 
 object SkinnyEvent {
@@ -30,7 +36,7 @@ object SkinnyEvent {
       def repo(e: SkinnyEvent): String = e.repo
       def path(e: SkinnyEvent): String = e.path
       def lsn(e: SkinnyEvent): Long = e.lsn
-      def isDelete(e: SkinnyEvent): Boolean = e.op == ChangeEvent.Delete
+      def isDelete(e: SkinnyEvent): Boolean = e.del
     }
 }
 

@@ -122,8 +122,13 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     import spark.implicits._
     val skinny = bounded(spark.readStream.schema(ChangeEvent.schema))
       .parquet(s"${cfg.logDir}/seg=*")
-      .select(col("lsn"), col("op"), col("repo"), col("path"),
-        col("_metadata.file_path").as("file"),
+      .select(col("lsn"),
+        (col("op") === ChangeEvent.Delete).as("del"),
+        col("repo"), col("path"),
+        // segment-relative handle: shorter shuffle bytes + smaller combiner
+        // allocations than the absolute URI; refetch derives the same
+        // suffix from its own _metadata, so the join is format-agnostic
+        substring_index(col("_metadata.file_path"), "/seg=", -1).as("file"),
         col("_metadata.row_index").as("idx"))
       .as[SkinnyEvent]
     LsnDedup(skinny).writeStream
@@ -154,9 +159,10 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChangeEvent.schema)
     else
-      spark.read.schema(ChangeEvent.schema).parquet(files.toSeq: _*)
+      spark.read.schema(ChangeEvent.schema)
+        .parquet(files.toSeq.map(f => s"${cfg.logDir}/seg=$f"): _*)
         .select(col("*"),
-          col("_metadata.file_path").as("__file"),
+          substring_index(col("_metadata.file_path"), "/seg=", -1).as("__file"),
           col("_metadata.row_index").as("__idx"))
         .join(broadcast(w.select(col("file").as("__file"), col("idx").as("__idx"))),
           Seq("__file", "__idx"), "leftsemi")
