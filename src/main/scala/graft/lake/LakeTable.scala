@@ -217,10 +217,31 @@ class LakeTable(
     case Some(s) => resolveSnapshot(s)
   }
 
+  /** Bucket-scoped MOR resolve. Keys are hash-partitioned into buckets
+    * and every file the table writes holds at most one row per key (a
+    * delta is a batch's winner set, a rewrite is already resolved), so:
+    *
+    *  - a bucket referencing ONE file needs no resolution — scan it
+    *    as-is, shuffle-free;
+    *  - only buckets referencing SEVERAL files go through the winner
+    *    window, and resolving them in isolation is exactly equivalent to
+    *    the global window (a key never spans buckets).
+    *
+    * Post-compaction steady state on a 100 TB table: the handful of
+    * recently-touched buckets shuffle, the compacted majority streams
+    * straight off parquet.
+    */
   private def resolveSnapshot(s: Snapshot): DataFrame = {
     val sch = StructType.fromDDL(s.schemaDdl)
-    resolve(s, liftDrift(s, readFiles(extendedSchema(s, sch),
-      s.files.values.flatten.toSeq)))
+    val ext = extendedSchema(s, sch)
+    val (multi, single) = s.files.partition(_._2.size > 1)
+    if (multi.isEmpty)
+      liftDrift(s, readFiles(ext, s.files.values.flatten.toSeq))
+    else if (single.isEmpty)
+      resolve(s, liftDrift(s, readFiles(ext, multi.values.flatten.toSeq)))
+    else
+      liftDrift(s, readFiles(ext, single.values.flatten.toSeq)).unionByName(
+        resolve(s, liftDrift(s, readFiles(ext, multi.values.flatten.toSeq))))
   }
 
   /** Read schema for raw table files: snapshot schema + the stored `extra`
@@ -281,17 +302,11 @@ class LakeTable(
     * where both rows are identical anyway; the aligned tie-break makes
     * the pathological distinct-payload case batching-independent too).
     *
-    * **Bucket-local fast path**: every file the table writes (delta,
-    * minor-compaction rewrite, major compaction) holds at most one row
-    * per key — a delta is a batch's winner set, a rewrite is already
-    * resolved. So when every bucket references a SINGLE file there is
-    * nothing to resolve across, and the global key-window (a full-table
-    * shuffle+sort on every read) is skipped entirely. Post-compaction
-    * steady-state reads of a 100 TB table are shuffle-free scans.
+    * Callers pass only rows that genuinely need resolution —
+    * `resolveSnapshot` routes single-file buckets around the window.
     */
   private def resolve(s: Snapshot, df: DataFrame): DataFrame =
     if (df.columns.isEmpty) df
-    else if (s.files.values.forall(_.size <= 1)) df
     else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(s.keyCols.map(col): _*)

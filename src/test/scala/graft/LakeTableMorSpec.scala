@@ -120,6 +120,32 @@ class LakeTableMorSpec extends SparkSpec {
     assert(after === Map("p1" -> "content-3-k1"))
   }
 
+  test("mixed buckets: single-file buckets bypass the winner window (bucket-scoped resolve)") {
+    import spark.implicits._
+    val dir = tmpDir("mor-mixed")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    // batch 0 spreads keys over both buckets; batch 1 touches only key 1,
+    // so exactly the bucket holding key 1 becomes multi-file
+    lake.merge((1 to 8).map(k => ev(k.toLong, "insert", k)).toDS().toDF(), "t", 0L)
+    lake.merge(Seq(ev(100, "update", 1)).toDS().toDF(), "t", 1L)
+    val files = lake.currentSnapshot.get.files
+    assert(files.values.exists(_.size > 1) && files.values.exists(_.size == 1),
+      s"test precondition: one multi-file and one single-file bucket, got $files")
+
+    // the plan unions a window-resolved branch (multi-file buckets) with a
+    // plain scan branch (single-file buckets) — the compacted majority of
+    // a 100 TB table never shuffles on read
+    val plan = lake.read().queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"expected bucket-scoped union:\n$plan")
+    assert(plan.contains("Window"), s"expected winner window on the multi branch:\n$plan")
+
+    val rows = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("p1") === "content-100-k1")
+    (2 to 8).foreach(k => assert(rows(s"p$k") === s"content-$k-k$k"))
+  }
+
   test("time travel resolves winners as of the requested version") {
     import spark.implicits._
     val dir = tmpDir("mor-tt")
