@@ -2,7 +2,7 @@ package graft
 
 import graft.simops.{Multimodal, Similarity}
 import graft.sources.Sources
-import graft.textops.{Dedup, TextAnalysis}
+import graft.textops.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -232,6 +232,41 @@ object SparkEntry {
       threshold = 0.4, nPlanes = 6)
       .select("id_a", "id_b") // cos excluded: float
 
+  /** Cluster resolution over the minhash near-dup pairs: connected
+    * components, keeper = min doc_id. The oracle recomputes components
+    * from the EXACT all-pairs Jaccard pairs via a recursive CTE, so the
+    * row is green iff LSH candidate recall is 1.0 on this corpus AND the
+    * label propagation reached the true fixpoint.
+    */
+  private def clusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+      .select("id_a", "id_b")
+    Curation.neardupClusters(docs, "doc_id", pairs)
+  }
+
+  /** Deterministic stratified sampling: en at 1/2, de+fr at 1/4, other
+    * strata at 1/8 — exact 32-bit integer thresholds on the md5-prefix
+    * uniform, bit-reproducible in any engine.
+    */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      Map("en" -> 2147483648L, "de" -> 1073741824L, "fr" -> 1073741824L),
+      defaultThreshold = 536870912L)
+
+  /** Benchmark contamination: corpus (doc_id ≥ 20) vs probe set
+    * (doc_id < 20), shared word 4-grams per contaminated doc.
+    */
+  private def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    Curation.contamination(
+      d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text", n = 4)
+  }
+
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.synthetic(spark, 500))
       .toDF()
@@ -267,6 +302,9 @@ object SparkEntry {
     "ivf_knn" -> ivfKnn,
     "ivf_recall" -> ivfRecall,
     "cosine_neardups" -> cosineNearDups,
+    "neardup_clusters" -> clusterKeepers,
+    "sample_stratified" -> sampleStratified,
+    "contamination" -> contaminationCheck,
     "multimodal_features" -> multimodalFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -461,6 +499,41 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+    // connected components from the EXACT all-pairs Jaccard pairs at the
+    // same threshold, via a recursive min-label closure — green iff LSH
+    // pair recall is 1.0 AND the Spark label propagation hit the true
+    // fixpoint (keeper = min doc_id per component; singletons keep
+    // themselves)
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |posts AS (SELECT id, sz, unnest(grams) AS g FROM sz),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM posts a JOIN posts b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE)/(a.sz+b.sz-count(*)) >= 0.6),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS label FROM sz
+        |  UNION
+        |  SELECT e.v AS id, r.label FROM reach r JOIN edges e ON e.u = r.id)
+        |SELECT id AS doc_id, min(label) AS keeper_id FROM reach GROUP BY id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${hexFoldSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")} <
+        |  CASE lang WHEN 'en' THEN 2147483648
+        |            WHEN 'de' THEN 1073741824
+        |            WHEN 'fr' THEN 1073741824
+        |            ELSE 536870912 END""".stripMargin,
+    "contamination" ->
+      s"""WITH ${shingleCteN(4)},
+        |g4 AS (SELECT id AS doc_id, unnest(grams) AS g FROM sz),
+        |p AS (SELECT DISTINCT doc_id AS probe_id, g FROM g4 WHERE doc_id < 20),
+        |c AS (SELECT doc_id, g FROM g4 WHERE doc_id >= 20)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
+        |  count(DISTINCT p.probe_id) AS n_probe_docs
+        |FROM c JOIN p USING (g) GROUP BY 1""".stripMargin,
     // regenerates Multimodal.synthetic + decodeStub's arithmetic outputs
     // from first principles (payload byte j of media i = (i*31+j*7)%251)
     "multimodal_features" ->
@@ -479,19 +552,21 @@ object SparkEntry {
 
   // -- oracle SQL generators ------------------------------------------------
 
-  /** Word-3-gram shingle sets per doc, exactly `Dedup.wordShingles`:
+  /** Word-n-gram shingle sets per doc, exactly `Dedup.wordShingles`:
     * tokens = lower, split on \W+, drop empties; shingle i = tokens
-    * [i+1..i+3] joined by space for i in 0..max(len-3,0); distinct.
+    * [i+1..i+n] joined by space for i in 0..max(len-n,0); distinct.
     */
-  private def shingleCte: String =
-    """sz AS (
+  private def shingleCteN(n: Int): String =
+    s"""sz AS (
       |  SELECT doc_id AS id, len(grams) AS sz, grams FROM (
       |    SELECT doc_id,
-      |      list_distinct(list_transform(range(0, greatest(len(toks)-3, 0)+1),
-      |        i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS grams
+      |      list_distinct(list_transform(range(0, greatest(len(toks)-$n, 0)+1),
+      |        i -> array_to_string(list_slice(toks, i+1, i+$n), ' '))) AS grams
       |    FROM (SELECT doc_id,
-      |            list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') AS toks
+      |            list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> t <> '') AS toks
       |          FROM documents)))""".stripMargin
+
+  private def shingleCte: String = shingleCteN(3)
 
   /** Numeric value of 15 hex chars (60 bits), folded digit-by-digit —
     * DuckDB has no conv(); this reproduces Spark's
