@@ -137,7 +137,8 @@ object SparkEntry {
     t(spark, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.alnumTokenCount(col("text")).cast("bigint").as("n_alnum_tokens"),
-        TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"))
+        TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"))
 
   private def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -368,7 +369,10 @@ object SparkEntry {
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens,
-        |  CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_ws_tokens
+        |  CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))
+        |    AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

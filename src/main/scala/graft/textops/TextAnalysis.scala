@@ -15,11 +15,18 @@ object TextAnalysis {
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).as("ws_tokens")
 
-  /** BPE-ish token count: word pieces + standalone punctuation, the usual
-    * pre-tokenizer regex shape (`\w+` runs and single non-space symbols).
+  /** BPE pre-tokenizer count, GPT-2-regex style: English contraction
+    * suffixes, space-prefixed letter runs, digit runs, and symbol runs
+    * (whitespace between tokens is skipped, not counted). The pattern
+    * deliberately avoids lookaround so it means the same thing under
+    * Java regex (Spark, backtracking leftmost-first) and RE2 (DuckDB
+    * oracle, leftmost-first in default mode) — cross-engine exact.
     */
+  val bpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)|(?=\\W)"), s => trim(s) =!= ""))
+    regexp_count(text, lit(bpePretokenPattern))
 
   /** Simpler, oracle-checkable token count: alphanumeric runs. */
   def alnumTokenCount(text: Column): Column =
