@@ -90,13 +90,21 @@ object TextAnalysis {
     pick.as("lang_id")
   }
 
-  /** Document fingerprint: polynomial rolling hash over the character
-    * codes (base 31, mod 1e9+7 — small enough that acc*31+c never
-    * overflows i64), computed with `aggregate` over the char array —
-    * expression-only, order-sensitive (a true rolling hash, not a bag
-    * hash).
+  /** Document fingerprint: polynomial rolling hash over the code points
+    * (base 31, mod 1e9+7 — small enough that acc*31+c never overflows
+    * i64), order-sensitive (a true rolling hash, not a bag hash).
+    * Runs as the custom codegen'd [[graft.functions.RollingHash]]
+    * expression — the equivalent `aggregate(transform(split(…)))` fold is
+    * interpreted per character (ArrayAggregate has no codegen) and
+    * allocates a per-char array; see [[rollingFingerprintHof]].
     */
-  def rollingFingerprint(text: Column): Column = {
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash(text).as("fingerprint")
+
+  /** The expression-only HOF formulation, kept as the reference
+    * implementation the custom expression is equivalence-tested against.
+    */
+  def rollingFingerprintHof(text: Column): Column = {
     val p = lit(1000000007L)
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
