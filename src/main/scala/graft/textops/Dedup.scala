@@ -41,8 +41,19 @@ object Dedup {
 
   // -- shingling ---------------------------------------------------------------
 
-  /** Word n-gram shingles as an array column (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles as an array column (distinct). Runs as the
+    * custom codegen'd [[graft.functions.WordShingles]] kernel — the
+    * equivalent HOF chain ([[wordShinglesHof]], kept as the equivalence
+    * reference) is interpreted per lambda element and was the dominant
+    * per-row cost of every shingle-based operator.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
+
+  /** The expression-only HOF formulation the custom kernel is
+    * equivalence-tested against (ShinglesSpec).
+    */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
