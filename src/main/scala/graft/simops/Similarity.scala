@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns. */
+  /** Dot product of two array<float|double> columns. Runs as the custom
+    * codegen'd [[graft.functions.VecDot]] kernel — the equivalent
+    * `aggregate(zip_with(…))` chain ([[dotHof]], kept as the equivalence
+    * reference) is interpreted per element.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecDot.vecDot(a, b)
+
+  /** The expression-only HOF formulation the custom kernel is
+    * equivalence-tested against (VecDotSpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -66,9 +76,18 @@ object Similarity {
   }
 
   /** `nPlanes`-bit random-hyperplane signature of a vector: bit p = sign
-    * of the projection onto plane p.
+    * of the projection onto plane p. Runs as the custom codegen'd
+    * [[graft.functions.LshSignature]] kernel — the HOF formulation
+    * ([[lshSignatureHof]], kept as the equivalence reference) interprets
+    * a lambda per (plane × dimension).
     */
   def lshSignature(vec: Column, nPlanes: Int): Column =
+    graft.functions.LshSignature.lshSignature(vec, nPlanes)
+
+  /** The expression-only HOF formulation the custom kernel is
+    * equivalence-tested against (VecDotSpec).
+    */
+  def lshSignatureHof(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
