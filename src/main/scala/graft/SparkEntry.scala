@@ -149,6 +149,15 @@ object SparkEntry {
         lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b")).cast("bigint").as("n_stop"))
   }
 
+  /** Composite quality score, emitted as the exact integer count of
+    * passed checks (score × 4): every term is an IEEE-exact 0.0/1.0
+    * indicator and the ÷4/×4 are powers of two, so the value is
+    * bit-stable cross-engine.
+    */
+  private def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("checks_passed"))
+
   private def langId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
@@ -291,6 +300,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExact,
     "token_count" -> tokenCount,
     "text_quality" -> textQuality,
+    "quality_score" -> qualityScoreQ,
     "lang_id" -> langId,
     "fingerprint" -> fingerprint,
     "minhash_neardups" -> minhashNearDups,
@@ -381,6 +391,28 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text),
         |    '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stop
         |FROM documents""".stripMargin,
+    // the C4/Gopher-style composite: 4 indicator checks (punct ratio,
+    // stopword ratio, token count, mean word length), each an IEEE-exact
+    // 0/1, reported as the integer number passed
+    "quality_score" ->
+      """SELECT doc_id, CAST(
+        |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+        |  AS BIGINT) AS checks_passed
+        |FROM (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+        |      / greatest(CAST(nt AS DOUBLE), 1.0) AS stopword_ratio,
+        |    nt AS n_tokens,
+        |    CAST(length(text) - (nt - 1) AS DOUBLE)
+        |      / greatest(CAST(nt AS DOUBLE), 1.0) AS mean_word_len
+        |  FROM (SELECT doc_id, text,
+        |          len(regexp_split_to_array(trim(text), '\s+')) AS nt
+        |        FROM documents))""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN best = 0 THEN 'und'
