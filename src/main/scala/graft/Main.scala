@@ -62,14 +62,37 @@ object Main {
     case Some("start") => start(args.tail)
     case Some("generate-log") => generateLog(args.tail)
     case Some("compact") => compact(args.tail)
+    case Some("lookup") => lookup(args.tail)
     case Some("config-template") => configTemplate()
     case _ =>
       System.err.println(
         "usage: graft start -f pipeline.yaml [--verify-oracle]\n" +
         "       graft generate-log --out DIR [--events N] [--segments K] [--seed S] [--zipf Z]\n" +
         "       graft compact --table DIR [--drop-tombstones]\n" +
+        "       graft lookup --table DIR --key V1[,V2...]\n" +
         "       graft config-template")
       sys.exit(2)
+  }
+
+  /** Point lookup of one key's current state — bucket-pruned, so it
+    * scans 1/numBuckets of the table (`LakeTable.lookup`). Key values
+    * are positional against the table's key columns.
+    */
+  private def lookup(args: Array[String]): Unit = {
+    val table = flag(args, "--table").getOrElse {
+      System.err.println("lookup: --table DIR required"); sys.exit(2); ""
+    }
+    val key = flag(args, "--key").getOrElse {
+      System.err.println("lookup: --key V1[,V2...] required"); sys.exit(2); ""
+    }
+    val spark = session("graft-lookup")
+    val lake = graft.lake.LakeTable(spark, table)
+    val rows = lake.lookup(key.split(",", -1).toSeq)
+      .toJSON.collect()
+    if (rows.isEmpty) println(s"[graft] lookup $key: not found")
+    else rows.foreach(r => println(s"[graft] $r"))
+    spark.stop()
+    if (rows.isEmpty) sys.exit(1)
   }
 
   /** Table maintenance: rewrite each bucket to one file, optionally GC

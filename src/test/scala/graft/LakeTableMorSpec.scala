@@ -146,6 +146,30 @@ class LakeTableMorSpec extends SparkSpec {
     (2 to 8).foreach(k => assert(rows(s"p$k") === s"content-$k-k$k"))
   }
 
+  test("point lookup prunes to the key's single hash bucket") {
+    import spark.implicits._
+    val dir = tmpDir("mor-lookup")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 4)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge((1 to 16).map(k => ev(k.toLong, "insert", k)).toDS().toDF(), "t", 0L)
+    lake.merge(Seq(ev(100, "update", 5), ev(101, "delete", 6)).toDS().toDF(), "t", 1L)
+    assert(lake.currentSnapshot.get.files.size > 1, "need several buckets")
+
+    // hit: latest version of the key
+    val hit = lake.lookup(Seq("r2", "p5"))
+    val rows = hit.collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("content") === "content-100-k5")
+    // the scan must reference exactly ONE bucket's files
+    val buckets = "__bucket=(\\d+)".r
+      .findAllMatchIn(hit.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet
+    assert(buckets.size === 1, s"lookup must prune to one bucket, scanned $buckets")
+
+    // tombstoned key and absent key both come back empty
+    assert(lake.lookup(Seq("r0", "p6")).count() === 0L)
+    assert(lake.lookup(Seq("nope", "nothing")).count() === 0L)
+  }
+
   test("time travel resolves winners as of the requested version") {
     import spark.implicits._
     val dir = tmpDir("mor-tt")
