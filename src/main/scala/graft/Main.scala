@@ -63,6 +63,8 @@ object Main {
     case Some("generate-log") => generateLog(args.tail)
     case Some("compact") => compact(args.tail)
     case Some("lookup") => lookup(args.tail)
+    case Some("changes") => changes(args.tail)
+    case Some("vacuum") => vacuum(args.tail)
     case Some("config-template") => configTemplate()
     case _ =>
       System.err.println(
@@ -70,8 +72,44 @@ object Main {
         "       graft generate-log --out DIR [--events N] [--segments K] [--seed S] [--zipf Z]\n" +
         "       graft compact --table DIR [--drop-tombstones]\n" +
         "       graft lookup --table DIR --key V1[,V2...]\n" +
+        "       graft changes --table DIR --from V [--to V]\n" +
+        "       graft vacuum --table DIR [--keep N]\n" +
         "       graft config-template")
       sys.exit(2)
+  }
+
+  /** Incremental change feed `(from, to]` as JSON lines — what a
+    * downstream consumer tails instead of re-reading the table
+    * (`LakeTable.changeFeed`).
+    */
+  private def changes(args: Array[String]): Unit = {
+    val table = flag(args, "--table").getOrElse {
+      System.err.println("changes: --table DIR required"); sys.exit(2); ""
+    }
+    val from = flag(args, "--from").map(_.toLong).getOrElse {
+      System.err.println("changes: --from V required"); sys.exit(2); 0L
+    }
+    val spark = session("graft-changes")
+    val lake = graft.lake.LakeTable(spark, table)
+    val to = flag(args, "--to").map(_.toLong)
+      .orElse(lake.currentVersion).getOrElse(0L)
+    lake.changeFeed(from, to).toJSON.collect().foreach(println)
+    spark.stop()
+  }
+
+  /** Expire old snapshots + vacuum orphaned data files
+    * (`LakeTable.expireSnapshots`).
+    */
+  private def vacuum(args: Array[String]): Unit = {
+    val table = flag(args, "--table").getOrElse {
+      System.err.println("vacuum: --table DIR required"); sys.exit(2); ""
+    }
+    val keep = flag(args, "--keep").map(_.toInt).getOrElse(2)
+    val spark = session("graft-vacuum")
+    val lake = graft.lake.LakeTable(spark, table)
+    val (expired, deleted) = lake.expireSnapshots(keep)
+    println(s"[graft] vacuum: expired $expired snapshots, deleted $deleted data files")
+    spark.stop()
   }
 
   /** Point lookup of one key's current state — bucket-pruned, so it

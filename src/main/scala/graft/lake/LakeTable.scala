@@ -621,6 +621,101 @@ class LakeTable(
       }.toMap
   }
 
+  /** Incremental change feed: the rows applied by each MERGE commit in
+    * `(fromVersionExclusive, toVersionInclusive]`, with provenance. This
+    * is what a downstream incremental consumer tails instead of
+    * re-reading a 100 TB table: per version it returns exactly that
+    * batch's winner set (one row per key — upserts AND tombstones, with
+    * `__lsn`/`__deleted`/`__version`), so applying the feed in version
+    * order (or idempotently by max `__lsn`) reconstructs the table delta
+    * for the range.
+    *
+    * Versions created by compaction contribute nothing (they rewrite,
+    * they don't change state) — their absence from the feed is the
+    * correct semantics, not a gap. Feed files live under
+    * `data/vN/delta/` and survive being de-referenced by minor
+    * compaction; they are reclaimed only by [[expireSnapshots]], which
+    * refuses ranges the feed can no longer serve.
+    */
+  def changeFeed(fromVersionExclusive: Long, toVersionInclusive: Long): DataFrame = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $tablePath not initialized"))
+    require(toVersionInclusive <= cur.version,
+      s"changeFeed: version $toVersionInclusive beyond current ${cur.version}")
+    ((fromVersionExclusive + 1) to toVersionInclusive).foreach { v =>
+      require(Files.exists(snapshotsDir.resolve(s"snapshot-$v.json")),
+        s"changeFeed: version $v has been expired (expireSnapshots) — " +
+          "the range cannot be served incrementally; re-read the table")
+    }
+    val sch = StructType.fromDDL(cur.schemaDdl)
+    val perVersion = ((fromVersionExclusive + 1) to toVersionInclusive).flatMap { v =>
+      val deltaDir = root.resolve(s"data/v$v/delta")
+      if (!Files.isDirectory(deltaDir)) None // compaction-only version
+      else {
+        val rel = enumerateBucketFiles(s"data/v$v/delta").values.flatten.toSeq
+        if (rel.isEmpty) None
+        else Some(liftDrift(cur, readFiles(extendedSchema(cur, sch), rel))
+          .withColumn("__version", lit(v)))
+      }
+    }
+    if (perVersion.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(sch.fields :+ StructField("__version", LongType, nullable = false)))
+    else perVersion.reduce(_.unionByName(_))
+  }
+
+  /** Expire old snapshots and vacuum their orphaned data files — the GC
+    * half of table maintenance (compaction bounds read amplification;
+    * this bounds storage). Keeps the most recent `keepLast` snapshots
+    * (the time-travel and change-feed window); every data file not
+    * referenced by a retained snapshot AND not a change-feed delta of a
+    * retained version is deleted, along with expired snapshot JSONs.
+    *
+    * Crash-safe by ordering: snapshot JSONs are deleted only after the
+    * data files they exclusively referenced — a crash mid-vacuum leaves
+    * garbage (re-vacuum), never a torn table.
+    *
+    * @return (expired snapshot count, deleted data file count)
+    */
+  def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $tablePath not initialized"))
+    val all = Files.list(snapshotsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    val retained = all.filter(_ > cur.version - keepLast)
+    val expired = all.filterNot(retained.contains)
+    if (expired.isEmpty) return (0, 0)
+    // keep: files referenced by any retained snapshot, plus the feed
+    // deltas of retained versions (changeFeed reads them from disk even
+    // when compaction has de-referenced them)
+    val referenced: Set[String] = retained
+      .flatMap(v => snapshot(v).files.values.flatten).toSet
+    def keepPath(rel: String): Boolean =
+      referenced.contains(rel) ||
+        retained.exists(v => rel.startsWith(s"data/v$v/delta/"))
+    val dataDir = root.resolve("data")
+    var deleted = 0
+    if (Files.isDirectory(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.iterator().asScala.toSeq.reverse.foreach { p =>
+        val rel = root.relativize(p).toString
+        if (Files.isRegularFile(p) && !keepPath(rel)) {
+          Files.delete(p); deleted += 1
+        } else if (Files.isDirectory(p) &&
+            !Files.list(p).iterator().hasNext) {
+          Files.delete(p)
+        }
+      } finally walk.close()
+    }
+    expired.foreach(v => Files.deleteIfExists(
+      snapshotsDir.resolve(s"snapshot-$v.json")))
+    (expired.size, deleted)
+  }
+
   /** Compact the table: rewrite every bucket into one file, materializing
     * drift columns (and dropping the delta-side `extra` carrier). With
     * `dropTombstones=true` also garbage-collects deleted keys (safe once

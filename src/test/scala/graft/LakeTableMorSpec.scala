@@ -170,6 +170,62 @@ class LakeTableMorSpec extends SparkSpec {
     assert(lake.lookup(Seq("nope", "nothing")).count() === 0L)
   }
 
+  test("change feed returns each merge's winner set with provenance; compaction versions contribute nothing") {
+    import spark.implicits._
+    val dir = tmpDir("mor-feed")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge(Seq(ev(1, "insert", 1), ev(2, "insert", 2)).toDS().toDF(), "t", 0L) // v1
+    lake.merge(Seq(ev(3, "update", 1)).toDS().toDF(), "t", 1L)                     // v2
+    lake.compact()                                                                 // v3: rewrite only
+    lake.merge(Seq(ev(4, "delete", 2)).toDS().toDF(), "t", 3L)                     // v4
+
+    val feed = lake.changeFeed(1, 4)
+      .select("__version", "path", "__lsn", "__deleted").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(feed === Set((2L, "p1", 3L, false), (4L, "p2", 4L, true)),
+      s"got $feed")
+    // full-range feed reconstructs the current state when reduced by max lsn
+    val all = lake.changeFeed(0, 4)
+    assert(all.count() === 4)
+    // empty range
+    assert(lake.changeFeed(4, 4).count() === 0)
+  }
+
+  test("expireSnapshots vacuums orphaned files, keeps the table readable, and fences the feed") {
+    import spark.implicits._
+    val dir = tmpDir("mor-vacuum")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2, maxFilesPerBucket = 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    // enough same-key merges that minor compaction de-references old deltas
+    (0 until 6).foreach { i =>
+      lake.merge(Seq(ev(10 + i, "update", 1), ev(20 + i, "update", 2))
+        .toDS().toDF(), "t", i.toLong)
+    }
+    val before = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def diskFiles() = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try w.iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+      finally w.close()
+    }
+    val filesBefore = diskFiles()
+    val (expired, deleted) = lake.expireSnapshots(keepLast = 2)
+    assert(expired > 0 && deleted > 0, s"expected GC work, got ($expired, $deleted)")
+    assert(diskFiles() === filesBefore - deleted)
+    // current state identical after vacuum
+    val after = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after === before)
+    // retained window still serves the feed; expired range refuses
+    val cur = lake.currentVersion.get
+    assert(lake.changeFeed(cur - 1, cur).count() > 0)
+    intercept[IllegalArgumentException] {
+      lake.changeFeed(0, cur)
+    }
+  }
+
   test("time travel resolves winners as of the requested version") {
     import spark.implicits._
     val dir = tmpDir("mor-tt")
