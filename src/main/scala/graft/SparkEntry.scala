@@ -158,6 +158,15 @@ object SparkEntry {
     t(spark, dir, "documents").select(col("doc_id"),
       (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("checks_passed"))
 
+  /** Gopher-style within-doc repetition filter features. */
+  private def repetitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+    TextAnalysis.repetitionFeatures(col("text"))
+      .foldLeft(base.select(col("doc_id"), col("text"))) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }.drop("text")
+  }
+
   private def langId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
@@ -301,6 +310,7 @@ object SparkEntry {
     "token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "quality_score" -> qualityScoreQ,
+    "repetition" -> repetitionQ,
     "lang_id" -> langId,
     "fingerprint" -> fingerprint,
     "minhash_neardups" -> minhashNearDups,
@@ -412,6 +422,19 @@ object SparkEntry {
         |      / greatest(CAST(nt AS DOUBLE), 1.0) AS mean_word_len
         |  FROM (SELECT doc_id, text,
         |          len(regexp_split_to_array(trim(text), '\s+')) AS nt
+        |        FROM documents))""".stripMargin,
+    // within-doc duplicate-3-gram fraction as exact integer permille;
+    // slots = max(tokens-2, 1) aligns with the shingle short-doc corner
+    "repetition" ->
+      """SELECT doc_id,
+        |  CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS n_gram_slots,
+        |  CAST(len(grams) AS BIGINT) AS n_gram_distinct,
+        |  CAST(1000 - (len(grams) * 1000) // greatest(len(toks) - 2, 1) AS BIGINT) AS dup_permille
+        |FROM (SELECT doc_id, toks,
+        |    list_distinct(list_transform(range(0, greatest(len(toks)-3, 0)+1),
+        |      i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') AS toks
         |        FROM documents))""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,

@@ -176,8 +176,25 @@ class LakeTable(
   /** Atomic snapshot commit: snapshot JSON first, then the `_current`
     * pointer via temp-file + atomic rename. A crash between the two leaves
     * the table at the parent version — never a torn state.
+    *
+    * **Optimistic concurrency**: the design is one writer per checkpoint
+    * (the reference's model, and what the exactly-once ledger keys on),
+    * but a misconfigured second writer must not silently clobber
+    * commits. Iceberg-style: a commit whose `parentVersion` no longer
+    * matches the live pointer is REJECTED — the caller's data files
+    * become garbage (reclaimed by `expireSnapshots`), the table keeps
+    * the sibling's commit, and the failure is loud instead of a lost
+    * update. (The residual check-to-rename window would need a CAS the
+    * filesystem doesn't offer; at cluster scale this check lives in the
+    * catalog's atomic swap, as Iceberg's does.)
     */
-  private def commitSnapshot(s: Snapshot): Unit = {
+  private[graft] def commitSnapshot(s: Snapshot): Unit = {
+    val liveParent = currentVersion.getOrElse(-1L)
+    if (s.parentVersion != liveParent)
+      throw new java.util.ConcurrentModificationException(
+        s"lake table $tablePath: commit of version ${s.version} expected " +
+          s"parent ${s.parentVersion} but the table is at $liveParent — " +
+          "a concurrent writer committed first; re-read and retry")
     Files.createDirectories(snapshotsDir)
     Files.writeString(snapshotsDir.resolve(s"snapshot-${s.version}.json"),
       SnapshotCodec.toJson(s))

@@ -112,6 +112,29 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31L + c, p)).as("fingerprint")
   }
 
+  /** Within-document repetition features (Gopher/Dolma-style repetition
+    * filter): the fraction of a doc's word-3-gram SLOTS not covered by
+    * distinct 3-grams, as an exact integer permille — high values mean
+    * the doc repeats itself (boilerplate, generation loops). Pure
+    * codegen'd scan via the [[graft.functions.WordShingles]] kernel;
+    * `(doc_id, n_gram_slots, n_gram_distinct, dup_permille)`.
+    */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = size(filter(split(lower(text), "\\W+"), t => t =!= ""))
+    val slots = greatest(toks - 2, lit(1))
+    val distinctGrams = size(Dedup.wordShingles(text, 3))
+    Seq(
+      "n_gram_slots" -> slots.cast("bigint"),
+      "n_gram_distinct" -> distinctGrams.cast("bigint"),
+      // floor of the exact quotient ≡ integer division: Column./ is
+      // double division in Spark, so floor() is what matches SQL `//`
+      // (numerator ≤ ~2e6 keeps the double exact enough that floor can
+      // never straddle an integer: a non-exact quotient is ≥ 1/slots
+      // away from one, ≫ double rounding error)
+      "dup_permille" ->
+        (lit(1000) - floor(distinctGrams * 1000 / slots)).cast("bigint"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -226,6 +226,27 @@ class LakeTableMorSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: a commit against a stale parent is rejected, table state preserved") {
+    import spark.implicits._
+    val dir = tmpDir("mor-occ")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge(Seq(ev(1, "insert", 1)).toDS().toDF(), "t", 0L) // v1
+    val v1 = lake.currentSnapshot.get
+
+    // sibling writer advances the table
+    lake.merge(Seq(ev(2, "insert", 2)).toDS().toDF(), "t2", 0L) // v2
+
+    // a commit prepared against v1 (stale parent) must be rejected loudly
+    val stale = v1.copy(version = 2L, parentVersion = 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      lake.commitSnapshot(stale)
+    }
+    // the sibling's commit survives untouched
+    assert(lake.currentVersion.get === 2L)
+    assert(lake.read().count() === 2L)
+  }
+
   test("time travel resolves winners as of the requested version") {
     import spark.implicits._
     val dir = tmpDir("mor-tt")
