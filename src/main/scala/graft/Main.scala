@@ -171,11 +171,14 @@ object Main {
       |        # methods: [GET, POST]
       |        # batchSize: 100       # spool segment flush threshold
       |    target:
-      |      type: lake               # lake | files | jdbc
+      |      type: lake               # lake | files | jdbc | rollup
       |      specs:
       |        path: /data/lake
       |        keyColumns: [repo, path]
       |        numBuckets: 64
+      |        # rollup target only (watermarked windowed aggregation):
+      |        # window: 1 hour
+      |        # watermark: 10 minutes
       |        # files target only: codec json -> partitioned JSONL under
       |        # the prefix template; default codec writes parquet
       |        # codec: json
@@ -201,6 +204,8 @@ object Main {
       java.nio.file.Files.readString(java.nio.file.Paths.get(specPath)))
     val spark = session(s"graft-${spec.name}")
     spec.instance.source.tpe match {
+      case "changelog" if spec.instance.target.tpe == "rollup" =>
+        runRollup(spark, spec)
       case "changelog" =>
         runCdc(spark, spec, args, spec.instance.source.path,
           spec.instance.source.format, httpServer = None)
@@ -240,6 +245,29 @@ object Main {
         System.err.println(s"source type $t not implemented"); sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Streaming rollup pipeline: changelog → watermarked tumbling-window
+    * aggregation → parquet append (`graft.streaming.EventRollup`). Late
+    * events beyond the watermark are dropped; finalized windows append
+    * exactly once; re-running from the same checkpoint emits only newly
+    * finalized windows.
+    */
+  private def runRollup(spark: SparkSession, spec: PipelineSpec): Unit = {
+    val tgt = spec.instance.target
+    require(spec.instance.source.format == "parquet",
+      "rollup target requires source format: parquet (typed event segments)")
+    val ckpt =
+      if (spec.checkpointDir.nonEmpty) spec.checkpointDir
+      else tgt.path + "/_checkpoint"
+    val t0 = System.nanoTime()
+    graft.streaming.EventRollup.start(spark, spec.instance.source.path,
+        tgt.path, ckpt, tgt.watermark, tgt.window)
+      .awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val out = spark.read.parquet(tgt.path)
+    println(f"[graft] rollup done in $secs%.1f s: ${out.count()} finalized " +
+      s"(window=${tgt.window}, watermark=${tgt.watermark}) rows in ${tgt.path}")
   }
 
   /** The streaming CDC path: changelog (or http spool) → dedup → lake

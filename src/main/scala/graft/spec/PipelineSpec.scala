@@ -42,7 +42,7 @@ final case class SourceSpec(
 }
 
 final case class TargetSpec(
-    tpe: String, // lake | files | jdbc
+    tpe: String, // lake | files | jdbc | rollup
     table: String = "",
     path: String = "",
     // jdbc target only ≙ reference TargetSpecs database/configurations
@@ -54,6 +54,9 @@ final case class TargetSpec(
     batchSize: Int = 100,
     prefix: String = "",
     lineBreak: String = "\n",
+    // rollup target only: watermarked tumbling-window aggregation
+    window: String = "1 hour",
+    watermark: String = "10 minutes",
     configurations: Map[String, String] = Map.empty)
 
 final case class InstanceSpec(
@@ -71,7 +74,7 @@ final case class PipelineSpec(
 object PipelineSpec {
 
   val SourceTypes: Set[String] = Set("changelog", "csv", "jsonl", "http")
-  val TargetTypes: Set[String] = Set("lake", "files", "jdbc")
+  val TargetTypes: Set[String] = Set("lake", "files", "jdbc", "rollup")
   val Codecs: Set[String] = Set("json", "yaml", "xml")
   val SourceFormats: Set[String] = Set("parquet", "jsonl")
   private[spec] val ProcessingTimeRe = "processingTime=(\\d+)(?:ms)?".r
@@ -158,6 +161,8 @@ object PipelineSpec {
       if (str(sp, "table").forall(_.isEmpty))
         throw new IllegalArgumentException("jdbc target requires specs.table")
     }
+    if (tpe == "rollup" && str(sp, "path").forall(_.isEmpty))
+      throw new IllegalArgumentException("rollup target requires specs.path")
     TargetSpec(
       tpe = tpe,
       table = str(sp, "table").getOrElse(""),
@@ -170,6 +175,8 @@ object PipelineSpec {
       batchSize = int(sp, "batchSize").getOrElse(100),
       prefix = str(sp, "prefix").getOrElse(""),
       lineBreak = str(sp, "lineBreak").getOrElse("\n"),
+      window = str(sp, "window").getOrElse("1 hour"),
+      watermark = str(sp, "watermark").getOrElse("10 minutes"),
       configurations = strMap(sp, "configurations"))
   }
 

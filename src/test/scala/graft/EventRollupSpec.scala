@@ -19,6 +19,51 @@ class EventRollupSpec extends SparkSpec {
     events.toDS().coalesce(1).write.parquet(s"$logDir/seg=$name")
   }
 
+  test("rollup target is YAML/CLI-reachable: graft.Main start with target.type rollup") {
+    val root = tmpDir("cli-rollup")
+    val logDir = s"$root/log"
+    writeSeg(logDir, "000", Seq(
+      ev(1, "2026-01-01 10:00:00"),
+      ev(2, "2026-01-01 10:30:00"),
+      ev(3, "2026-01-01 12:00:00")))
+    val yaml =
+      s"""stream:
+         |  name: cli-rollup
+         |  checkpointDir: $root/ckpt
+         |  port: 0
+         |  instance:
+         |    source:
+         |      type: changelog
+         |      specs: { path: $logDir, format: parquet }
+         |    target:
+         |      type: rollup
+         |      specs: { path: $root/out, window: 1 hour, watermark: 10 minutes }
+         |""".stripMargin
+    val yamlPath = s"$root/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(yamlPath), yaml)
+
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      .forEach(a => if (!a.startsWith("-Xmx") && !a.startsWith("-Xms")) cmd.add(a))
+    cmd.add("-Xmx3g")
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Main"); cmd.add("start"); cmd.add("-f"); cmd.add(yamlPath)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_CPUS", "2")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, s"child failed:\n$out")
+    assert(out.contains("[graft] rollup done"), s"no rollup summary:\n$out")
+
+    // only the watermark-finalized 10:00 window is in the sink
+    val rows = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(("2026-01-01 10:00:00.0", 2L, 2L)), s"got ${rows.toSeq}")
+  }
+
   test("append-once window finalization; late events beyond the watermark are dropped") {
     val logDir = tmpDir("rolog")
     val outDir = tmpDir("roout")
