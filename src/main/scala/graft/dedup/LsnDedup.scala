@@ -99,12 +99,44 @@ object LsnDedup {
       def isDelete(e: ChangeEvent): Boolean = e.op == ChangeEvent.Delete
     }
 
-  def apply[T](events: Dataset[T])(
-      implicit enc: Encoder[T], k: LsnKeyed[T]): Dataset[T] =
-    preCombine(events)
-      .groupByKey(e => (k.repo(e), k.path(e)))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        dedupGroup[T])
+  /** @param stateTtlMs when set, per-key state expires after this long
+    *   without activity (`ProcessingTimeTimeout`) — the knob that bounds
+    *   state at 10^10-key scale where most keys go cold. Expiry is SAFE
+    *   by construction: a stale duplicate arriving after its key expired
+    *   is re-admitted and re-emitted, but the lake's monotone max-`__lsn`
+    *   merge resolves it away — the cost is one idempotent extra row,
+    *   never a wrong final state (asserted by DedupOpsSpec's TTL test).
+    */
+  def apply[T](events: Dataset[T], stateTtlMs: Option[Long] = None)(
+      implicit enc: Encoder[T], k: LsnKeyed[T]): Dataset[T] = {
+    val grouped = preCombine(events).groupByKey(e => (k.repo(e), k.path(e)))
+    stateTtlMs match {
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(dedupGroup[T])
+      case Some(ttl) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+          dedupGroupTtl[T](ttl))
+    }
+  }
+
+  /** TTL wrapper around [[dedupGroup]]: drop expired state; refresh the
+    * timeout on any activity for a still-live key.
+    */
+  private[graft] def dedupGroupTtl[T](ttlMs: Long)(
+      key: (String, String),
+      events: Iterator[T],
+      state: GroupState[KeyProgress])(
+      implicit k: LsnKeyed[T]): Iterator[T] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = dedupGroup(key, events, state)
+      if (state.exists) state.setTimeoutDuration(ttlMs)
+      out
+    }
 
   /** Partition-local pre-reduce (map-side combiner): keep only each key's
     * winner within an input partition before the key shuffle. Winner-max

@@ -48,6 +48,11 @@ final case class CdcJobConfig(
     //    shape when keys/batch ≈ rows/batch (no duplication to exploit)
     //    or when re-reading the source is expensive (remote cold store).
     carry: String = "skinny",
+    // per-key dedup-state TTL (ProcessingTimeTimeout): bounds state when
+    // most of a 10^10-key space goes cold; expiry re-admits stale
+    // duplicates as idempotent rows the lake's monotone merge absorbs
+    // (see LsnDedup.apply scaladoc). None = keep state forever.
+    dedupStateTtlMs: Option[Long] = None,
     // runId-agnostic identity of this pipeline for the exactly-once ledger
     checkpointId: String = "cdc",
     // when set, micro-batches upsert into a JDBC table (≙ the reference's
@@ -104,6 +109,16 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
 
   /** Build (but do not await) the streaming query. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // ProcessingTimeTimeout makes FlatMapGroupsWithStateExec report
+    // "should run another batch" on EVERY batch (processing time always
+    // advances), so an AvailableNow run would never terminate — it spins
+    // empty micro-batches forever (measured: 1000+ versions/minute).
+    // The TTL is a tailing-mode feature; replay-to-completion runs keep
+    // full state (bounded by the run's key set anyway).
+    require(cfg.dedupStateTtlMs.isEmpty || !trigger.isInstanceOf[
+        org.apache.spark.sql.execution.streaming.AvailableNowTrigger.type],
+      "dedupStateTtlMs requires a ProcessingTime trigger (runFollowing); " +
+        "AvailableNow never terminates under ProcessingTimeTimeout")
     if (cfg.jdbcSink.isEmpty) lake.createIfAbsent(baseSchema)
     if (cfg.carry == "skinny" && cfg.format == "parquet") startSkinny(trigger)
     else startFull(trigger)
@@ -131,7 +146,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         substring_index(col("_metadata.file_path"), "/seg=", -1).as("file"),
         col("_metadata.row_index").as("idx"))
       .as[SkinnyEvent]
-    LsnDedup(skinny).writeStream
+    LsnDedup(skinny, cfg.dedupStateTtlMs).writeStream
       .queryName(s"graft-cdc-${cfg.checkpointId}")
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", cfg.checkpointDir)
@@ -185,6 +200,17 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       ()
     } else {
       val good = materialize()
+      // under a state TTL the engine runs a no-data batch per trigger
+      // tick (ProcessingTimeTimeout always reports should-run-another-
+      // batch); skip the sink entirely for those so ticks stay cheap and
+      // the idle-exit's quiescence windows exist. Replay runs (no TTL)
+      // never pay the extra isEmpty probe.
+      if (cfg.dedupStateTtlMs.isDefined && good.isEmpty) {
+        stats.add(MergeStats(
+          if (cfg.jdbcSink.isDefined) -1L else lake.currentVersion.getOrElse(-1L),
+          batchId, skippedAsApplied = false, 0L, 0L, 0L, 0, Nil))
+        return
+      }
       cfg.jdbcSink match {
         case Some(j) => stats.add(applyJdbc(good, j, batchId))
         case None =>
@@ -241,7 +267,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         throw new IllegalArgumentException(s"changelog format $other not implemented")
     }
 
-    LsnDedup(events).writeStream
+    LsnDedup(events, cfg.dedupStateTtlMs).writeStream
       .queryName(s"graft-cdc-${cfg.checkpointId}")
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", cfg.checkpointDir)
@@ -333,14 +359,18 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         var lastData = System.nanoTime()
         var lastSeenBatch = -1L
         def idleExceeded = (System.nanoTime() - lastData) / 1e6 >= idle
-        // quiescent gate: never stop while a trigger is mid-flight or the
-        // source reports unprocessed data — stopping mid-batch is safe for
-        // the table (the uncommitted batch replays on resume) but would
-        // end a catch-up run before its data landed
-        def quiescent = !q.status.isTriggerActive && !q.status.isDataAvailable
         // `lastProgress != null` gate: never stop before the engine has
         // reported at least one (possibly empty) batch — a cold first
-        // batch can take longer than the idle window
+        // batch can take longer than the idle window.
+        //
+        // The exit gate is "no UNPROCESSED data" (isDataAvailable), NOT
+        // "trigger idle": under a state TTL the engine legitimately runs
+        // a (possibly slow) no-data batch every tick, so the trigger is
+        // almost always mid-flight and a trigger-idle gate would never
+        // open (measured: the follow loop span no-data ticks forever).
+        // Stopping during a NO-DATA batch is safe — it replays as a
+        // no-op; the drain loop below keeps the catch-up guarantee for
+        // data batches.
         var stopping = false
         while (q.isActive && !stopping) {
           val p = q.lastProgress
@@ -348,15 +378,20 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
             lastSeenBatch = p.batchId
             lastData = System.nanoTime()
           }
-          if (idleExceeded && quiescent && p != null) {
-            // grace re-check before concluding the log is drained: files
-            // that landed in the last instants may not have been seen by
-            // a source poll yet — give the engine two more trigger
-            // intervals and only stop if still no data surfaced
+          if (idleExceeded && !q.status.isDataAvailable && p != null) {
+            // drain any in-flight trigger (bounded) — if it was a DATA
+            // batch, its completion shows up as fresh progress in the
+            // grace re-check below and we keep running
+            val drainDeadline = System.nanoTime() + 30L * 1000000000L
+            while (q.status.isTriggerActive && System.nanoTime() < drainDeadline)
+              Thread.sleep(50)
+            // grace re-check: files that landed in the last instants may
+            // not have been seen by a source poll yet — give the engine
+            // two more trigger intervals and only stop if still nothing
             Thread.sleep(math.max(2 * intervalMs, 1000L))
             val p2 = q.lastProgress
             val sawData = p2 != null && p2.batchId > lastSeenBatch && p2.numInputRows > 0
-            if (!sawData && quiescent) stopping = true
+            if (!sawData && !q.status.isDataAvailable) stopping = true
           } else Thread.sleep(50)
         }
         if (q.isActive) q.stop()

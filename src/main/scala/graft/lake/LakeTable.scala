@@ -503,6 +503,15 @@ class LakeTable(
         .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq).getOrElse(Nil)
         .sorted
     val newCols = driftKeys.filterNot(k => oldSchema.fieldNames.contains(k))
+    // empty batch → version-neutral no-op: no snapshot, no ledger entry
+    // (a replayed empty batch re-applies as another no-op — idempotent).
+    // Matters under state-timeout tailing, where the engine runs a
+    // no-data batch per trigger tick: committing those would churn a
+    // version per tick forever. The written (empty) delta dir is reused
+    // by the next real merge's SaveMode.Overwrite.
+    if (nRows == 0 && newCols.isEmpty)
+      return MergeStats(cur.version, batchId, skippedAsApplied = false,
+        0L, 0L, 0L, 0, Nil)
     val newSchema = StructType(oldSchema.fields ++
       newCols.map(c => StructField(c, StringType, nullable = true)))
     val batchLineage: Map[String, Long] = footerMaxLsn(deltaFiles)

@@ -32,6 +32,11 @@ final case class SourceSpec(
     // byte-bounded micro-batches (overrides maxFilesPerTrigger when set):
     // the backpressure knob that stays meaningful across segment layouts
     maxBytesPerTrigger: Option[Long] = None,
+    // per-key dedup-state TTL for TAILING pipelines (requires a
+    // processingTime trigger — see CdcJob.start): bounds keyed state
+    // when most of the key space goes cold; expiry only re-admits
+    // idempotent duplicates
+    dedupStateTtlMs: Option[Long] = None,
     configurations: Map[String, String] = Map.empty) {
 
   /** Tail interval in ms when trigger is processingTime, else None. */
@@ -143,6 +148,7 @@ object PipelineSpec {
       trigger = trigger,
       maxFilesPerTrigger = int(sp, "maxFilesPerTrigger").getOrElse(2),
       maxBytesPerTrigger = str(sp, "maxBytesPerTrigger").map(_.toLong),
+      dedupStateTtlMs = str(sp, "dedupStateTtlMs").map(_.toLong),
       configurations = strMap(sp, "configurations"))
   }
 
