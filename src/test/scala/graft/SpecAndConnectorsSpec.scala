@@ -40,6 +40,33 @@ class SpecAndConnectorsSpec extends SparkSpec {
     assert(s.instance.dlq.exists(_.path === "/data/dlq"))
   }
 
+  test("r3 spec fields parse: dedupStateTtlMs, rollup target window/watermark") {
+    val s = PipelineSpec.fromYaml(
+      """stream:
+        |  name: roll
+        |  instance:
+        |    source:
+        |      type: changelog
+        |      specs: { path: /data/log, dedupStateTtlMs: 3600000 }
+        |    target:
+        |      type: rollup
+        |      specs: { path: /data/out, window: 15 minutes, watermark: 2 minutes }
+        |""".stripMargin)
+    assert(s.instance.source.dedupStateTtlMs === Some(3600000L))
+    assert(s.instance.target.tpe === "rollup")
+    assert(s.instance.target.window === "15 minutes")
+    assert(s.instance.target.watermark === "2 minutes")
+    // rollup requires a sink path
+    val bad = intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      """stream:
+        |  name: roll
+        |  instance:
+        |    source: { type: changelog, specs: { path: /data/log } }
+        |    target: { type: rollup, specs: { window: 1 hour } }
+        |""".stripMargin))
+    assert(bad.getMessage.contains("rollup target requires specs.path"))
+  }
+
   test("unknown source/target/codec types fail fast like the reference dispatchers") {
     val badTarget = yaml.replace("type: lake", "type: gcloudstorage")
     val e1 = intercept[IllegalArgumentException](PipelineSpec.fromYaml(badTarget))
