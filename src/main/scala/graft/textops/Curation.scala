@@ -60,14 +60,17 @@ object Curation {
           .withColumnRenamed("label", "ulabel"), "u")
         .groupBy(col("v").as("id"))
         .agg(min(col("ulabel")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // one job per round: the step keeps the previous label alongside
+      // the new one, so the convergence count is a cheap scan of the
+      // checkpointed blocks instead of a second join
+      val stepped = labels
+        .withColumnRenamed("label", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      val changed = stepped.filter(col("label") =!= col("prev")).count()
+      labels = stepped.select("id", "label")
       converged = changed == 0L
       iter += 1
     }
