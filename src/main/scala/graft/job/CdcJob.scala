@@ -152,7 +152,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[SkinnyEvent], batchId: Long) =>
-        sinkBatch(batchId)(() => refetch(batch))
+        sinkBatch(batchId, () => batch.foreach(_ => ()))(() => refetch(batch))
       }
       .start()
   }
@@ -184,16 +184,30 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
         .withColumn("extra", coalesce(col("extra"), map()))
   }
 
-  /** Ledger-gated sink dispatch shared by both carry pipelines: skip
-    * crash-replayed batches entirely (exactly-once for the DLQ and stats,
-    * not just the table), otherwise materialize the batch and apply it.
+  /** Ledger-gated sink dispatch shared by both carry pipelines: skip the
+    * SINK for crash-replayed batches (exactly-once for the DLQ and
+    * stats, not just the table), otherwise materialize the batch and
+    * apply it.
+    *
+    * @param consume full pass over the raw batch Dataset with NO sink
+    *   effects. The applied-skip path must still run it: a ledger hit
+    *   means the crash landed between the lake commit and the engine's
+    *   batch commit, so on restart the STATE STORES are rolled back and
+    *   this re-run is what re-commits the batch's dedup-state updates.
+    *   Returning without touching the Dataset would silently lose those
+    *   updates (stale events re-admitted later — only idempotent rows,
+    *   but still) and trips Spark's state-store commit validation
+    *   ("expected N commits but got 0" — caught by CrashResumeSpec's
+    *   SIGKILL e2e).
     */
-  private def sinkBatch(batchId: Long)(materialize: () => DataFrame): Unit = {
+  private def sinkBatch(batchId: Long, consume: () => Unit)(
+      materialize: () => DataFrame): Unit = {
     val applied = cfg.jdbcSink match {
       case Some(j) => graft.sinks.JdbcUpsert.isApplied(j.url, cfg.checkpointId, batchId)
       case None => lake.isApplied(cfg.checkpointId, batchId)
     }
     if (applied) {
+      consume()
       stats.add(MergeStats(
         if (cfg.jdbcSink.isDefined) -1L else lake.currentVersion.getOrElse(-1L),
         batchId, skippedAsApplied = true, 0L, 0L, 0L, 0, Nil))
@@ -273,7 +287,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeEvent], batchId: Long) =>
-        sinkBatch(batchId) { () =>
+        sinkBatch(batchId, () => batch.foreach(_ => ())) { () =>
           if (cfg.format == "jsonl") {
             // materialize once so the DLQ split doesn't re-execute the
             // stateful upstream; parquet-format batches skip these jobs.

@@ -19,7 +19,11 @@ class CrashResumeSpec extends SparkSpec {
     cmd.add(javaBin)
     java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
       .forEach(a => if (!a.startsWith("-Xmx") && !a.startsWith("-Xms")) cmd.add(a))
-    cmd.add("-Xmx3g")
+    cmd.add("-Xmx4g")
+    // the suite machine is heavily loaded while this child replays; a
+    // GC/CPU-starvation pause must not trip local-mode RPC timeouts
+    cmd.add("-Dspark.network.timeout=300s")
+    cmd.add("-Dspark.rpc.askTimeout=300s")
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.Main"); cmd.add("start"); cmd.add("-f"); cmd.add(yamlPath)
     extra.foreach(cmd.add)
@@ -32,8 +36,11 @@ class CrashResumeSpec extends SparkSpec {
   test("kill -9 mid-replay, restart from checkpoint, converge to the oracle") {
     val root = tmpDir("crash")
     val logDir = s"$root/log"
-    val cfg = ChangeLogGenerator.Config(nEvents = 20000L, nRepos = 50,
-      pathsPerRepo = 20, numSegments = 8)
+    // many small segments (one micro-batch each): even a warm child JVM
+    // spends ~0.5 s/batch on planning+commit, so the kill window between
+    // version 2 and completion stays wide under any scheduling
+    val cfg = ChangeLogGenerator.Config(nEvents = 16000L, nRepos = 50,
+      pathsPerRepo = 20, numSegments = 16)
     ChangeLogGenerator.writeSegments(spark, logDir, cfg)
 
     val yaml =
@@ -68,13 +75,13 @@ class CrashResumeSpec extends SparkSpec {
       catch { case _: Exception => -1L }
     while (version < 2L && System.nanoTime() < deadline) {
       assert(p1.isAlive, "child died before making progress")
-      Thread.sleep(100L)
+      Thread.sleep(20L)
     }
     assert(version >= 2L, "no mid-replay progress within the deadline")
     p1.destroyForcibly() // SIGKILL — no graceful drain
     p1.waitFor()
     val vAtCrash = version
-    assert(vAtCrash < 9L, s"crash came too late to be a mid-replay test: v$vAtCrash")
+    assert(vAtCrash < 14L, s"crash came too late to be a mid-replay test: v$vAtCrash")
 
     // phase 2: restart from the same checkpoint; must converge exactly
     val p2 = fork(yamlPath, Seq("--verify-oracle"))
