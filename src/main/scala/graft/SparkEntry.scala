@@ -133,6 +133,13 @@ object SparkEntry {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** The surviving rows of exact dedup (first doc_id per sha256(text)) —
+    * the materialized complement of `dedup_exact`'s group summary.
+    */
+  private def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSurvivors(t(spark, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang", "source", "n_chars")
+
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -307,6 +314,7 @@ object SparkEntry {
     "topk_per_group" -> topkPerGroup,
     // training-data ops
     "dedup_exact" -> dedupExact,
+    "dedup_survivors" -> dedupSurvivors,
     "token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "quality_score" -> qualityScoreQ,
@@ -386,6 +394,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY sha256(text)
+        |        ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn = 1""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens,
