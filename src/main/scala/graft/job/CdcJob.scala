@@ -168,7 +168,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
   private def refetch(batch: org.apache.spark.sql.Dataset[SkinnyEvent]): DataFrame = {
     // one compute of the stateful upstream; the winners are tiny (≤ live
     // keys per batch), so this checkpoint is KBs–MBs, not the batch
-    val w = batch.toDF().localCheckpoint()
+    val w = graft.util.Materialize.barrier(batch.toDF())
     val files = w.select("file").distinct().collect().map(_.getString(0))
     if (files.isEmpty)
       spark.createDataFrame(
@@ -293,7 +293,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
             // stateful upstream; parquet-format batches skip these jobs.
             // Crash-replayed batches never reach here (sinkBatch gates on
             // the ledger), so the DLQ stays exactly-once like the table.
-            val df = batch.toDF().localCheckpoint()
+            val df = graft.util.Materialize.barrier(batch.toDF())
             cfg.dlqDir.foreach { dir =>
               df.filter(col("op") === DlqOp)
                 .select(col("content").as("raw"),
@@ -316,7 +316,7 @@ class CdcJob(spark: SparkSession, cfg: CdcJobConfig) {
     */
   private def applyJdbc(batch: DataFrame, j: graft.sinks.JdbcUpsert.Config,
       batchId: Long): MergeStats = {
-    val input = batch.localCheckpoint() // two passes (keys agg + write), one compute
+    val input = graft.util.Materialize.barrier(batch) // two passes (keys agg + write), one compute
     val driftKeys: Seq[String] =
       if (!input.columns.contains("extra")) Nil
       else input

@@ -96,6 +96,29 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Auto-sized LSH plane count for a corpus of `n` vectors: picks
+    * `nPlanes` so the 2^nPlanes buckets hold ~`targetOccupancy` vectors
+    * each in expectation — the recall/cost sweet spot scales with the
+    * corpus instead of being a constant someone tuned at one size.
+    * Clamped to [4, 24] (beyond 2^24 buckets, occupancy is better
+    * controlled with IVF or by raising targetOccupancy).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Long = 32): Int = {
+    require(targetOccupancy > 0)
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.min(24, math.max(4,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** Auto-sized IVF cell count: targets `targetListSize` vectors per
+    * inverted list (per-query probe cost = nProbe × targetListSize),
+    * clamped to [16, 65536].
+    */
+  def autoCells(n: Long, targetListSize: Long = 256): Int = {
+    require(targetListSize > 0)
+    math.min(65536L, math.max(16L, n / targetListSize)).toInt
+  }
+
   /** ANN via LSH buckets: corpus and queries hashed to `nPlanes`-bit
     * buckets; candidates = same-bucket pairs, plus multi-probe — each
     * query also probes every bucket within Hamming distance
@@ -105,15 +128,20 @@ object Similarity {
     * never duplicate candidates. Recall < 1 by construction (checked by
     * `knn_lsh_recall` against brute force); cost ∝ probed bucket sizes,
     * not corpus².
+    *
+    * `nPlanes ≤ 0` derives the plane count from the corpus size via
+    * [[autoPlanes]] (one count job); an explicit positive value always
+    * wins.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 12,
       probeRadius: Int = 1): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("bucket", lshSignature(col("__cv"), nPlanes))
-    val probes = probeBuckets(col("bucket0"), nPlanes, probeRadius)
+      .withColumn("bucket", lshSignature(col("__cv"), planes))
+    val probes = probeBuckets(col("bucket0"), planes, probeRadius)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("bucket0", lshSignature(col("__qv"), nPlanes))
+      .withColumn("bucket0", lshSignature(col("__qv"), planes))
       .withColumn("bucket", explode(probes))
       .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -226,11 +254,15 @@ object Similarity {
   /** ANN via IVF: exact cosine top-k among the corpus rows of the
     * query's `nProbe` nearest cells. A corpus row lives in exactly one
     * cell, so probes never duplicate candidates.
+    *
+    * `nCells ≤ 0` derives the cell count from the corpus size via
+    * [[autoCells]]; an explicit positive value always wins.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    val cent = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val cent = ivfCentroids(corpus, idCol, vecCol, cells)
     val c = ivfAssign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       cent, "neighbor_id", "__cv")

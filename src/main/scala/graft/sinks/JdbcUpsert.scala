@@ -116,9 +116,9 @@ object JdbcUpsert {
     // checkpoint the winner set: upserts and deletes below are two
     // separate actions, and without materialization each would re-execute
     // the window (a key-shuffle + sort) over the batch
-    val winners = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+    val winners = graft.util.Materialize.barrier(
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
     val deletes = winners.filter(col("op") === "delete")
       .select(cfg.keyColumns.map(col): _*)
     val upserts = winners.filter(col("op") =!= "delete").drop("op")
@@ -341,14 +341,20 @@ object JdbcUpsert {
     */
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
-  /** Only the duplicate-key states: 23505 (standard/Derby/Postgres) and
-    * 23000 (MySQL-style drivers report ER_DUP_ENTRY under the generic
-    * integrity-violation state). Matching all of class 23 would silently
-    * swallow e.g. a NOT NULL violation (23502) and drop the row while
-    * still counting it as written.
+  /** Only genuine duplicate-key errors: SQLState 23505 (standard/Derby/
+    * Postgres) always; SQLState 23000 only when the vendor code says
+    * ER_DUP_ENTRY (1062) — MySQL-style drivers report EVERY integrity
+    * violation under the generic 23000 state, so matching the state alone
+    * would silently swallow e.g. a NOT NULL (vendor 1048) or FK violation
+    * and drop the row while still counting it as written. Anything else
+    * in class 23 propagates.
     */
-  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
-    Option(e.getSQLState).exists(s => s == "23505" || s == "23000")
+  private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists {
+      case "23505" => true
+      case "23000" => e.getErrorCode == 1062 // MySQL ER_DUP_ENTRY
+      case _ => false
+    }
 
   // Spark Row values are already java.sql-friendly for our ladder
   private def jdbcValue(v: Any): AnyRef = v match {

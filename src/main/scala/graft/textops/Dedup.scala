@@ -151,18 +151,18 @@ object Dedup {
     * (computed on the two shingle sets via a join back to the corpus) →
     * pairs above `threshold`.
     *
-    * The shingle arrays are materialized ONCE (`localCheckpoint`) and
-    * shared by the signature stage AND both verify-join sides — the HOF
-    * shingling is the dominant per-row cost, and the un-materialized shape
-    * re-evaluated it three times per run (once in `minhashSignatures`,
-    * once per verify side).
+    * The shingle arrays are materialized ONCE ([[graft.util.Materialize]]
+    * barrier) and shared by the signature stage AND both verify-join
+    * sides — the HOF shingling is the dominant per-row cost, and the
+    * un-materialized shape re-evaluated it three times per run (once in
+    * `minhashSignatures`, once per verify side).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      wordShingles(col(textCol), n).as("__sh"))
-      .localCheckpoint()
+    val sh = graft.util.Materialize.barrier(
+      df.select(col(idCol).as("__id"),
+        wordShingles(col(textCol), n).as("__sh")))
     val cands = candidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -223,21 +223,71 @@ object Dedup {
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the 4 15-bit quarters (a pair
-    * within Hamming distance ≤ 3 of 60 bits must agree on at least one
-    * quarter — pigeonhole, so candidate generation has recall 1 for
-    * maxDist ≤ 3), join within buckets, verify Hamming ≤ maxDist.
+  /** Number of fingerprint blocks `k` for Manku-style block-permutation
+    * bucketing at corpus size `n` (Manku, Jain & Das Sarma, WWW'07 §3):
+    * the fingerprint is split into `k` blocks and a table is built for
+    * every (k−d)-subset of blocks, keyed on those blocks' concatenated
+    * bits. A pair within Hamming distance ≤ d differs in ≤ d blocks, so
+    * it AGREES on some (k−d)-subset — candidate recall is 1 by
+    * pigeonhole for ANY k > d.
+    *
+    * k is the scale dial: key width = 60·(k−d)/k bits, so expected
+    * bucket occupancy is n / 2^(60(k−d)/k) — pick the smallest k whose
+    * key width covers log₂(n), keeping expected occupancy ≤ 1 and the
+    * within-bucket self-join linear in n:
+    *
+    *   k=4 → 15-bit keys, 4 tables   (n ≲ 3·10⁴)
+    *   k=5 → 24-bit keys, 10 tables  (n ≲ 10⁷)
+    *   k=6 → 30-bit keys, 20 tables  (n ≲ 10⁹)
+    *   k=7 → 34-bit keys, 35 tables  (n ≲ 10¹⁰)
+    *   k=8 → 37-bit keys, 56 tables  (n ≲ 10¹¹)
+    *
+    * The candidate-generation cost is n·C(k,d) exploded rows through one
+    * bucketing shuffle — the classic recall-1 cost curve. (The previous
+    * fixed 4-quarter scheme was this table's k=4 row applied at every n:
+    * occupancy n/2^15 makes the bucket join quadratic past ~10^5 docs.)
+    */
+  def simhashBlocks(n: Long, maxDist: Int = 3): Int = {
+    require(maxDist >= 1, s"maxDist $maxDist must be ≥ 1")
+    val need = math.log(math.max(n, 2L).toDouble) / math.log(2.0)
+    (maxDist + 1 to 8)
+      .find(k => SimhashBits.toDouble * (k - maxDist) / k >= need)
+      .getOrElse(8)
+  }
+
+  /** SimHash near-dup pairs, recall-complete for Hamming ≤ `maxDist`:
+    * Manku block-permutation tables (see [[simhashBlocks]]) bucket the
+    * corpus, candidates join within (table, key) buckets only, and exact
+    * Hamming verifies. `corpusCount` sizes the table family; when absent
+    * it is counted from `df` (one aggregate scan).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, corpusCount: Option[Long] = None): DataFrame = {
+    val k = simhashBlocks(corpusCount.getOrElse(df.count()), maxDist)
+    // block b covers fingerprint bits [60b/k, 60(b+1)/k) — widths differ
+    // by ≤1 bit; pigeonhole needs only that the blocks partition the bits
+    val bounds: Seq[(Int, Int)] = (0 until k).map { b =>
+      val off = SimhashBits * b / k
+      val hi = SimhashBits * (b + 1) / k
+      (off, hi - off)
+    }
+    // one key column per (k−d)-subset: the chosen blocks' bits packed
+    // into a long (≤ 60 bits total, exact in i64)
+    val tableKeys: Seq[Column] =
+      (0 until k).combinations(k - maxDist).map { s =>
+        s.foldLeft(lit(0L)) { (acc, b) =>
+          val (off, w) = bounds(b)
+          shiftleft(acc, w).bitwiseOR(
+            shiftright(col("sh"), off).bitwiseAND(lit((1L << w) - 1)))
+        }
+      }.toSeq
     val f = simhashDf(df, idCol, textCol).toDF("id", "sh")
-    val quarters = f.select(col("id"), col("sh"), posexplode(array(
-      (0 until 4).map(q =>
-        shiftright(col("sh"), q * 15).bitwiseAND(0x7fffL)): _*)))
-      .toDF("id", "sh", "q", "qv")
-    val l = quarters.toDF("id_a", "sh_a", "q", "qv")
-    val r = quarters.toDF("id_b", "sh_b", "q", "qv")
-    l.join(r, Seq("q", "qv"))
+    val tables = f.select(col("id"), col("sh"),
+        posexplode(array(tableKeys: _*)))
+      .toDF("id", "sh", "t", "key")
+    val l = tables.toDF("id_a", "sh_a", "t", "key")
+    val r = tables.toDF("id_b", "sh_b", "t", "key")
+    l.join(r, Seq("t", "key"))
       .filter(col("id_a") < col("id_b"))
       .filter(hamming(col("sh_a"), col("sh_b")) <= maxDist)
       .select("id_a", "id_b").distinct()
@@ -251,25 +301,29 @@ object Dedup {
     * Rare-ngram posting lists keep the pair blowup bounded; a df-cap
     * (`maxDocFreq`) drops stop-ngrams that would quadratically explode.
     *
-    * The capped postings are materialized ONCE (`localCheckpoint`, spills
-    * to disk) before fanning out: the shingling HOF is the dominant cost,
-    * and without the barrier the self-join + heavy-hitter subquery
-    * re-evaluate it on every branch — measured 4 evaluations per run and
-    * 53% of the whole sf0.1 query bench before the fix.
+    * The capped postings are materialized ONCE ([[graft.util.Materialize]]
+    * barrier, spills to disk) before fanning out: the shingling HOF is the
+    * dominant cost, and without the barrier the self-join + heavy-hitter
+    * subquery re-evaluate it on every branch — measured 4 evaluations per
+    * run and 53% of the whole sf0.1 query bench before the fix.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-      .localCheckpoint()
+    val posts = graft.util.Materialize.barrier(
+      sh.select(col("id"), col("sz"), explode(col("sh")).as("g")))
     // doc-frequency cap via partial-aggregated groupBy + broadcast
     // anti-join, NOT a window: count().over(partitionBy(g)) would shuffle
     // every posting of a stop-ngram to ONE task before the cap can drop
     // it — the exact skew the cap exists to avoid. groupBy combines
     // map-side; the heavy-hitter set is ≤ postings/maxDocFreq keys, tiny.
-    val heavy = posts.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("g")
+    // Materialized (it is tiny) so the aggregate subtree runs ONCE instead
+    // of once per self-join side — without the barrier each branch of the
+    // pair join rebuilt its own copy of the heavy-hitter groupBy.
+    val heavy = graft.util.Materialize.barrier(
+      posts.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("g"))
     val filtered = posts.join(broadcast(heavy), Seq("g"), "left_anti")
     val l = filtered.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
     val r = filtered.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))

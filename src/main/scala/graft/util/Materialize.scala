@@ -1,0 +1,61 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization barrier with a cluster-reliability knob.
+  *
+  * Several operators cut their lineage once and reuse the result from
+  * multiple downstream branches (shingle sets read by three joins, the
+  * component-loop edge list read every round, the CDC batch read by the
+  * dedup and write stages). Two ways to pin the blocks:
+  *
+  *  - `local` (default): `localCheckpoint()` — blocks live UNREPLICATED
+  *    in executor block managers. Fastest (no extra copy), and the right
+  *    choice on local[N] where there is exactly one "executor"; on a real
+  *    cluster a lost executor loses blocks with NO recompute path (the
+  *    lineage was cut), failing the job.
+  *  - `reliable`: an eager RELIABLE checkpoint (`Dataset.checkpoint`) to
+  *    the SparkContext checkpoint directory — on a cluster that is
+  *    HDFS/object storage, so the barrier survives ANY number of
+  *    executor losses. Like localCheckpoint it truncates the plan, which
+  *    is load-bearing for the iterative operators (the component loop
+  *    references each round's output twice; a non-truncating barrier
+  *    such as `persist` grows the logical plan ~4^rounds and analysis
+  *    time explodes long before execution does). The cost is one
+  *    write + read through stable storage per barrier — the
+  *    1000-executor deployment default. Requires a checkpoint dir:
+  *    either `SparkContext.setCheckpointDir` or the
+  *    `spark.graft.checkpoint.dir` session conf (set lazily here).
+  *
+  * Selected per session via `spark.graft.materialize.mode` (`local` |
+  * `reliable`), read at each barrier so tests can flip it at runtime.
+  * Both modes produce identical results (MaterializeSpec asserts it) —
+  * the knob trades recovery cost, never semantics.
+  */
+object Materialize {
+
+  val ModeKey = "spark.graft.materialize.mode"
+  val CheckpointDirKey = "spark.graft.checkpoint.dir"
+
+  def mode(df: DataFrame): String =
+    df.sparkSession.conf.get(ModeKey, "local")
+
+  /** Materialize `df` eagerly and return a frame whose downstream
+    * consumers read pinned blocks instead of recomputing the input.
+    */
+  def barrier(df: DataFrame): DataFrame = mode(df) match {
+    case "reliable" =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        df.sparkSession.conf.getOption(CheckpointDirKey) match {
+          case Some(dir) => sc.setCheckpointDir(dir)
+          case None => throw new IllegalStateException(
+            "reliable materialization needs a checkpoint directory: call " +
+              s"SparkContext.setCheckpointDir or set $CheckpointDirKey")
+        }
+      df.checkpoint() // eager; truncates the plan like localCheckpoint
+    case "local" => df.localCheckpoint()
+    case other => throw new IllegalArgumentException(
+      s"$ModeKey must be local|reliable, got '$other'")
+  }
+}

@@ -80,4 +80,30 @@ class CurationSpec extends SparkSpec {
     assert(got(11L)._2 === 2L)      // collides with both probe docs
     assert(!got.contains(12L))      // clean docs are absent
   }
+
+  test("neardupClusters: 10k-node adversarial path converges in O(log² n) star rounds") {
+    import spark.implicits._
+    val n = 10000L
+    val docs = (0L until n).toDF("doc_id")
+    // single path 0-1-2-...-9999: diameter 9999 — min-label propagation
+    // would need ~10k rounds; star contraction must do it in tens
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Curation.neardupClusters(docs, "doc_id", pairs, maxIters = 40)
+    assert(got.filter(col("keeper_id") =!= 0L).count() === 0L,
+      "every node of the path must resolve to component min 0")
+    assert(got.count() === n)
+  }
+
+  test("neardupClusters: two components plus ring topology resolve to their minima") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    // ring 0..9 (cycle) and star 10..19 centered at 15 (min is 10)
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val starE = (10L until 20L).filter(_ != 15L).map(i => (15L, i))
+    val pairs = (ring ++ starE).toDF("id_a", "id_b")
+    val got = Curation.neardupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(i => assert(got(i) === 0L, s"ring node $i"))
+    (10L until 20L).foreach(i => assert(got(i) === 10L, s"star node $i"))
+  }
 }

@@ -158,6 +158,54 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash block family scales with corpus size; recall is k-invariant") {
+    import graft.textops.Dedup.simhashBlocks
+    // smallest k whose key width 60(k-d)/k covers log2(n), capped at 8
+    assert(simhashBlocks(500L) === 4)          // 15-bit keys suffice
+    assert(simhashBlocks(30000L) === 4)
+    assert(simhashBlocks(100000L) === 5)       // 24-bit keys
+    assert(simhashBlocks(10000000L) === 5)
+    assert(simhashBlocks(1000000000L) === 6)   // 30-bit keys at 10^9 docs
+    assert(simhashBlocks(10000000000L) === 7)  // 34-bit keys at 10^10
+    assert(simhashBlocks(Long.MaxValue) === 8) // cap: 37-bit keys, 56 tables
+    // every k is recall-complete (pigeonhole): forcing the 10^9-doc table
+    // family on a small corpus returns the identical pair set
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = Seq((1L, base), (2L, base), (3L, base + " lambda mu"),
+      (4L, "unrelated words entirely disjoint from the others completely"),
+      (5L, base + " nu"))
+      .toDF("doc_id", "text")
+    def pairsAt(n: Option[Long]) =
+      Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 3, corpusCount = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atK4 = pairsAt(Some(500L))
+    assert(pairsAt(Some(1000000000L)) === atK4, "k=6 family must match k=4")
+    assert(pairsAt(None) === atK4, "counted corpus must match")
+  }
+
+  test("ANN dials derive from corpus size, with explicit override") {
+    import graft.simops.Similarity.{autoCells, autoPlanes}
+    assert(autoPlanes(100L) === 4)            // floor
+    assert(autoPlanes(1024L) === 5)           // 1024/32 = 32 buckets
+    assert(autoPlanes(1000000L) === 15)       // ~31k buckets of ~32
+    assert(autoPlanes(1000000000L) === 24)    // ceiling
+    assert(autoPlanes(1000000L, targetOccupancy = 1024) === 10)
+    assert(autoCells(1000L) === 16)           // floor
+    assert(autoCells(1000000L) === 3906)      // 10^6/256
+    assert(autoCells(100000000000L) === 65536) // ceiling
+    // auto path (nPlanes/nCells ≤ 0) returns valid results on a tiny corpus
+    import spark.implicits._
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 2)
+    assert(graft.simops.Similarity.lshTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nPlanes = 0).count() > 0)
+    assert(graft.simops.Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nCells = 0, nProbe = 2).count() > 0)
+  }
+
   test("ngram jaccard pairs: known overlap") {
     import spark.implicits._
     val df = Seq(

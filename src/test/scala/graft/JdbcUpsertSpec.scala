@@ -177,4 +177,26 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   private def ts(l: Long) = new java.sql.Timestamp(1735689600000L + l * 1000)
+
+  test("duplicate-key detection is dialect-aware: 23505 always; 23000 only " +
+      "with MySQL vendor code 1062; other integrity violations propagate") {
+    def ex(state: String, vendor: Int) =
+      new java.sql.SQLException("boom", state, vendor)
+    // (sqlState, vendorCode) -> swallow-as-duplicate?
+    val matrix = Seq(
+      ("23505", 0)    -> true,  // standard/Derby/Postgres unique violation
+      ("23505", 1062) -> true,
+      ("23000", 1062) -> true,  // MySQL ER_DUP_ENTRY under generic state
+      ("23000", 1048) -> false, // MySQL ER_BAD_NULL_ERROR — must propagate
+      ("23000", 1452) -> false, // MySQL FK violation — must propagate
+      ("23000", 0)    -> false, // generic integrity violation — propagate
+      ("23502", 0)    -> false, // standard NOT NULL — propagate
+      ("23503", 0)    -> false, // standard FK — propagate
+      ("42000", 1062) -> false) // non-23 state never swallowed
+    matrix.foreach { case ((state, vendor), expected) =>
+      assert(JdbcUpsert.isDuplicateKey(ex(state, vendor)) === expected,
+        s"state=$state vendor=$vendor")
+    }
+    assert(!JdbcUpsert.isDuplicateKey(new java.sql.SQLException("no state")))
+  }
 }
