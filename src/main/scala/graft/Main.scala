@@ -143,8 +143,9 @@ object Main {
     val spark = session("graft-compact")
     val lake = graft.lake.LakeTable(spark, table)
     val s = lake.compact(dropTombstones = args.contains("--drop-tombstones"))
+    val files = lake.filesOf(s)
     println(s"[graft] compacted to version ${s.version}: " +
-      s"${s.files.values.map(_.size).sum} files in ${s.files.size} buckets")
+      s"${files.values.map(_.size).sum} files in ${files.size} buckets")
     spark.stop()
   }
 
@@ -266,8 +267,13 @@ object Main {
         tgt.path, ckpt, tgt.watermark, tgt.window)
       .awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
-    val out = spark.read.parquet(tgt.path)
-    println(f"[graft] rollup done in $secs%.1f s: ${out.count()} finalized " +
+    // a run in which no window crossed the watermark leaves only
+    // _spark_metadata in the sink — schema inference fails on the read;
+    // that is a successful run with 0 finalized rows, not an error
+    val finalized =
+      try spark.read.parquet(tgt.path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    println(f"[graft] rollup done in $secs%.1f s: $finalized finalized " +
       s"(window=${tgt.window}, watermark=${tgt.watermark}) rows in ${tgt.path}")
   }
 

@@ -7,16 +7,26 @@ import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-/** A snapshot entry in the table's commit log. */
+/** A snapshot entry in the table's commit log.
+  *
+  * The snapshot does NOT inline the table's file list: it references a
+  * chain of per-commit MANIFEST files (`_manifests/`), so snapshot JSON
+  * size — and therefore per-commit metadata write cost — is
+  * O(buckets + checkpoints), independent of how many data files the
+  * table has accumulated. The previous shape inlined the full
+  * bucket→files map and rewrote it on every commit: MBs of driver JSON
+  * per micro-batch at 10^10-event scale, the wrong asymptote.
+  */
 final case class Snapshot(
     version: Long,
     schemaDdl: String,
     numBuckets: Int,
     keyCols: Seq[String],
-    // bucket id (as string, json map keys) -> relative data file paths.
-    // A bucket may hold several files (merge-on-read deltas); the reader
-    // resolves the max-__lsn winner per key across them.
-    files: Map[String, Seq[String]],
+    // manifest chain (relative paths under the table root, oldest first);
+    // folding it yields bucket -> data files. Bounded by consolidation:
+    // when the chain exceeds ManifestChainMax the commit writes a base
+    // manifest carrying the full live set and the chain resets to one.
+    manifests: Seq[String],
     // exactly-once ledger: checkpointId -> highest applied streaming batchId.
     // Streaming batchIds are monotone per checkpoint, so one Long per
     // checkpoint suffices at any scale (no unbounded applied-set).
@@ -28,6 +38,26 @@ final case class Snapshot(
     // (and the meta columns) are DRIFT columns whose values ride in the
     // delta files' `extra` map and are lifted at read time
     baseCols: Seq[String] = Nil)
+
+/** One data file reference inside a manifest: owning bucket, table-
+  * relative path, and size in bytes (sizes feed the compaction budget's
+  * tail selection without re-statting files — as Iceberg manifests carry
+  * file metrics so planning never touches the files themselves).
+  */
+final case class ManifestFile(bucket: String, path: String, size: Long)
+
+/** A per-commit manifest — the file-set delta of one commit. With
+  * `base=true`, `added` IS the full live file set as of this commit
+  * (written by compaction and by chain consolidation); otherwise the
+  * reader folds `removed` then `added` onto the parent's state. Written
+  * once at commit time, immutable afterwards; cost O(files touched by
+  * the commit), never O(table files).
+  */
+final case class Manifest(
+    version: Long,
+    base: Boolean,
+    added: Seq[ManifestFile],
+    removed: Seq[String])
 
 /** Result of one merge commit, for metrics / listeners. */
 final case class MergeStats(
@@ -43,9 +73,15 @@ final case class MergeStats(
 /** `LakeTable` — an Iceberg-*semantics* merge-on-read table format over
   * plain Parquet (no Iceberg jar ships in this sandbox; SURVEY.md §7):
   *
-  *  - versioned JSON snapshots (`_snapshots/snapshot-N.json`) listing data
-  *    files per hash bucket, the evolving schema, the exactly-once batch
-  *    ledger, and per-bucket applied-LSN lineage;
+  *  - versioned JSON snapshots (`_snapshots/snapshot-N.json`) carrying the
+  *    evolving schema, the exactly-once batch ledger, per-bucket
+  *    applied-LSN lineage, and a MANIFEST CHAIN (`_manifests/m-V-*.json`)
+  *    instead of an inline file list — Iceberg's snapshot→manifest split:
+  *    each commit writes one manifest describing only the files it added/
+  *    removed (with sizes, so planning never stats data files), and the
+  *    chain is consolidated into a base manifest every `ManifestChainMax`
+  *    commits. Commit metadata cost is O(files touched), not
+  *    O(table files);
   *  - atomic commit via write-temp-then-rename of a `_current` pointer;
   *  - **bucketed merge-on-read**: rows are hash-partitioned into
   *    `numBuckets` buckets on the key columns; a merge APPENDS its batch
@@ -63,13 +99,16 @@ final case class MergeStats(
   *    is the major-compaction/GC path (at cluster scale `numBuckets`
   *    would be thousands);
   *  - **the merge commit is ONE Spark job**: the delta write carries an
-  *    `observe()` side-channel for the driver-side facts the commit needs
-  *    (row/upsert counts, drift keys), and per-bucket lineage watermarks
-  *    come from the freshly written delta files' parquet FOOTER column
-  *    statistics (`__lsn` max per bucket — exact, no extra job). The
-  *    previous shape (eager `localCheckpoint` + a stats job + the write =
-  *    three jobs per micro-batch) put a ~4 s serial floor under every
-  *    batch and capped replay scaling efficiency at ~0.59 (BENCH.md);
+  *    `observe()` side-channel for EVERY driver-side fact the commit
+  *    needs — row/upsert counts, drift keys, and the per-bucket lineage
+  *    watermarks (the executor-side [[graft.functions.BucketMaxLsn]]
+  *    aggregate; exact `__lsn` max per bucket, no extra job, and no
+  *    driver-side parquet footer reads, which at thousands of buckets
+  *    cost ~15-20 ms of metadata IO each). The previous shapes (eager
+  *    `localCheckpoint` + a stats job + the write = three jobs per
+  *    micro-batch; then one job + footer reads) put serial driver floors
+  *    under every batch — the first capped replay scaling efficiency at
+  *    ~0.59 (BENCH.md);
   *  - schema evolution ≙ draethos auto-ALTER (`internal/target/pgsql.go:
   *    162-238`): new drift fields become appended nullable string columns
   *    in the snapshot schema; their VALUES stay in the delta files' stored
@@ -129,6 +168,72 @@ class LakeTable(
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
 
+  // -- manifest IO -----------------------------------------------------------
+
+  private val manifestsDir: Path = root.resolve("_manifests")
+
+  /** Manifest chain length that triggers consolidation: the commit writes
+    * a base manifest (full live set, O(table files) ONCE) and the chain
+    * resets to 1 — so fold cost at read stays O(live + recent) and the
+    * amortized consolidation cost per commit is O(live/24). Compaction
+    * also writes a base manifest naturally.
+    */
+  private val ManifestChainMax = 24
+
+  private def readManifest(rel: String): Manifest =
+    SnapshotCodec.manifestFromJson(Files.readString(root.resolve(rel)))
+
+  /** Write a manifest under a commit-unique name (two racing writers at
+    * the same version must never overwrite each other's manifest — the
+    * OCC check rejects one COMMIT, but both manifests exist on disk until
+    * vacuum reclaims the loser's).
+    */
+  private def writeManifest(m: Manifest): String = {
+    Files.createDirectories(manifestsDir)
+    val rel = s"_manifests/m-${m.version}-" +
+      s"${java.util.UUID.randomUUID.toString.take(8)}.json"
+    Files.writeString(root.resolve(rel), SnapshotCodec.manifestToJson(m))
+    rel
+  }
+
+  // fold memo: version -> (chain, folded entries); bounded, process-local
+  @transient private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, (Seq[String], Map[String, Seq[ManifestFile]])]()
+
+  /** Live data files of a snapshot, with sizes — the fold of its manifest
+    * chain. Memoized per version so repeated reads/commits in one process
+    * fold the chain once.
+    */
+  def entriesOf(s: Snapshot): Map[String, Seq[ManifestFile]] = {
+    val hit = foldCache.get(s.version)
+    if (hit != null && hit._1 == s.manifests) hit._2
+    else {
+      val folded = s.manifests
+        .foldLeft(Map.empty[String, Seq[ManifestFile]]) { (acc, rel) =>
+          val m = readManifest(rel)
+          val pre =
+            if (m.base) Map.empty[String, Seq[ManifestFile]]
+            else if (m.removed.isEmpty) acc
+            else {
+              val rm = m.removed.toSet
+              acc.map { case (b, fs) => b -> fs.filterNot(f => rm(f.path)) }
+                .filter(_._2.nonEmpty)
+            }
+          m.added.groupBy(_.bucket).foldLeft(pre) { case (a, (b, fs)) =>
+            a + (b -> (a.getOrElse(b, Nil) ++ fs))
+          }
+        }
+      if (foldCache.size > 16) foldCache.clear()
+      foldCache.put(s.version, (s.manifests, folded))
+      folded
+    }
+  }
+
+  /** Live data files of a snapshot: bucket -> table-relative paths. */
+  def filesOf(s: Snapshot): Map[String, Seq[String]] =
+    entriesOf(s).map { case (b, fs) => b -> fs.map(_.path) }
+
   /** Exactly-once ledger probe: has this (checkpointId, batchId) already
     * been committed? Lets callers skip side-effects (DLQ appends, stats)
     * for crash-replayed batches, keeping every output exactly-once — not
@@ -166,7 +271,7 @@ class LakeTable(
       version = 0L,
       schemaDdl = StructType(baseSchema.fields ++ metaFields).toDDL,
       numBuckets = numBuckets,
-      keyCols = keyCols, files = Map.empty, appliedUpTo = Map.empty,
+      keyCols = keyCols, manifests = Nil, appliedUpTo = Map.empty,
       lineage = Map.empty, parentVersion = -1L,
       baseCols = baseSchema.fieldNames.toSeq)
     commitSnapshot(s)
@@ -231,7 +336,7 @@ class LakeTable(
     */
   def readMeta(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
-    case Some(s) => resolveSnapshot(s)
+    case Some(s) => resolveFiles(s, filesOf(s))
   }
 
   /** Bucket-scoped MOR resolve. Keys are hash-partitioned into buckets
@@ -248,12 +353,13 @@ class LakeTable(
     * recently-touched buckets shuffle, the compacted majority streams
     * straight off parquet.
     */
-  private def resolveSnapshot(s: Snapshot): DataFrame = {
+  private def resolveFiles(s: Snapshot,
+      files: Map[String, Seq[String]]): DataFrame = {
     val sch = StructType.fromDDL(s.schemaDdl)
     val ext = extendedSchema(s, sch)
-    val (multi, single) = s.files.partition(_._2.size > 1)
+    val (multi, single) = files.partition(_._2.size > 1)
     if (multi.isEmpty)
-      liftDrift(s, readFiles(ext, s.files.values.flatten.toSeq))
+      liftDrift(s, readFiles(ext, files.values.flatten.toSeq))
     else if (single.isEmpty)
       resolve(s, liftDrift(s, readFiles(ext, multi.values.flatten.toSeq)))
     else
@@ -311,15 +417,35 @@ class LakeTable(
     case Some(s) =>
       require(keyValues.length == s.keyCols.length,
         s"lookup needs ${s.keyCols.mkString(",")} values, got $keyValues")
-      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-        keyValues.map(v => org.apache.spark.sql.catalyst.expressions.Literal(v)))
+      // cast each caller value to the KEY COLUMN's snapshot type before
+      // hashing: xxhash64 is type-sensitive (hash of "5":string ≠ 5:long),
+      // so a raw Literal of the caller's runtime type would prune to the
+      // wrong bucket and silently return "not found" for a present key
+      val sch = StructType.fromDDL(s.schemaDdl)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+      val keyLits = s.keyCols.zip(keyValues).map { case (c, v) =>
+        val dt = sch(c).dataType
+        val raw = CLit(v)
+        if (raw.dataType == dt) raw
+        else {
+          require(Cast.canCast(raw.dataType, dt),
+            s"lookup: value '$v' (${raw.dataType.simpleString}) cannot be " +
+              s"cast to key column $c: ${dt.simpleString}")
+          val casted = Cast(raw, dt,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          require(casted != null || v == null,
+            s"lookup: value '$v' does not parse as $c: ${dt.simpleString}")
+          CLit(casted, dt)
+        }
+      }
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(keyLits)
         .eval(null).asInstanceOf[Long]
       val b = java.lang.Math.floorMod(h, s.numBuckets.toLong).toString
-      val pruned = s.copy(files = s.files.filter(_._1 == b))
-      val resolved = resolveSnapshot(pruned)
+      val resolved = resolveFiles(s, filesOf(s).filter(_._1 == b))
       if (resolved.columns.isEmpty) resolved
-      else s.keyCols.zip(keyValues)
-        .foldLeft(resolved) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+      else s.keyCols.zip(keyLits)
+        .foldLeft(resolved) { case (d, (c, v)) =>
+          d.filter(col(c) === org.apache.spark.sql.graftbridge.ColumnBridge.column(v)) }
         .filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
 
@@ -330,13 +456,13 @@ class LakeTable(
   def readRaw(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) => readFiles(extendedSchema(s, StructType.fromDDL(s.schemaDdl)),
-      s.files.values.flatten.toSeq)
+      filesOf(s).values.flatten.toSeq)
   }
 
   /** Time travel: read the table as of a given snapshot version. */
   def readVersion(version: Long): DataFrame = {
     val s = snapshot(version)
-    resolveSnapshot(s)
+    resolveFiles(s, filesOf(s))
       .filter(!col(DeletedMeta)).drop(LsnMeta, DeletedMeta)
   }
 
@@ -445,7 +571,12 @@ class LakeTable(
     val obs = Observation("graft_merge")
     val obsExprs: Seq[Column] = Seq(
       count(lit(1)).as("n"),
-      sum(when(!col(DeletedMeta), 1L).otherwise(0L)).as("ups")) ++
+      sum(when(!col(DeletedMeta), 1L).otherwise(0L)).as("ups"),
+      // per-bucket lineage watermarks computed BY THE EXECUTORS while
+      // they write the delta (a ≤numBuckets-entry map) — no second job,
+      // no driver-side parquet footer reads at commit time
+      graft.functions.BucketMaxLsn
+        .bucketMaxLsn(col("__bucket"), col(LsnMeta), numBuckets).as("lin")) ++
       (if (hasExtra)
         Seq(array_distinct(flatten(collect_set(map_keys(col(ExtraMeta)))))
           .as("ks"))
@@ -485,13 +616,12 @@ class LakeTable(
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$deltaRel")
-    val deltaFiles = enumerateBucketFiles(deltaRel)
+    val deltaFiles = enumerateBucketEntries(deltaRel)
 
-    // 5. driver-side commit facts. Counts + drift keys from the observed
-    //    metrics; per-bucket lineage watermarks from the delta files'
-    //    parquet footer statistics (exact `__lsn` max per bucket, a few
-    //    ms of metadata IO over ≤ numBuckets·salt files — at cluster
-    //    scale a manifest would carry these, as Iceberg's does).
+    // 5. driver-side commit facts, ALL from the observed metrics of the
+    //    one write job: counts, drift keys, and the per-bucket lineage
+    //    watermarks (computed executor-side by the bucket_max_lsn
+    //    aggregate — zero driver footer reads, zero extra jobs).
     val m = obs.get
     val nRows = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val nUpserts = Option(m.getOrElse("ups", null))
@@ -514,7 +644,12 @@ class LakeTable(
         0L, 0L, 0L, 0, Nil)
     val newSchema = StructType(oldSchema.fields ++
       newCols.map(c => StructField(c, StringType, nullable = true)))
-    val batchLineage: Map[String, Long] = footerMaxLsn(deltaFiles)
+    val batchLineage: Map[String, Long] =
+      Option(m.getOrElse("lin", null))
+        .map(_.asInstanceOf[scala.collection.Map[Any, Any]].map {
+          case (b, mx) => b.toString -> mx.asInstanceOf[Long]
+        }.toMap)
+        .getOrElse(Map.empty)
     val touched = deltaFiles.keySet
 
     // 6. budgeted MINOR compaction (LSM-style): a bucket whose file count
@@ -533,22 +668,25 @@ class LakeTable(
     //    Obsolete rows in kept base files are resolved away at read and
     //    reclaimed only by major compaction — the Iceberg minor/major
     //    split. The rewrite materializes drift columns and drops the
-    //    `extra` carrier (like major compaction). File sizes come from a
-    //    local stat; at cluster scale a manifest would carry them
-    //    (Iceberg does exactly this).
-    val grown: Map[String, Seq[String]] =
-      (cur.files.keySet ++ deltaFiles.keySet).iterator.map { b =>
-        b -> (cur.files.getOrElse(b, Nil) ++ deltaFiles.getOrElse(b, Nil))
+    //    `extra` carrier (like major compaction). File sizes come from
+    //    the manifests (carried since the write that created each file) —
+    //    tail selection never re-stats data files.
+    val curEntries = entriesOf(cur)
+    val grown: Map[String, Seq[ManifestFile]] =
+      (curEntries.keySet ++ deltaFiles.keySet).iterator.map { b =>
+        b -> (curEntries.getOrElse(b, Nil) ++ deltaFiles.getOrElse(b, Nil))
       }.toMap
     val keepLargest = math.max(1, maxFilesPerBucket / 2)
-    val tails: Map[String, Seq[String]] = grown
+    val tails: Map[String, Seq[ManifestFile]] = grown
       .filter(_._2.size > maxFilesPerBucket)
       .map { case (b, fs) =>
-        b -> fs.sortBy(f => -fileSize(f)).drop(keepLargest)
+        b -> fs.sortBy(f => -f.size).drop(keepLargest)
       }
       .filter(_._2.size > 1) // a 1-file tail has nothing to merge
-    val finalFiles: Map[String, Seq[String]] =
-      if (tails.isEmpty) grown
+    val (finalEntries: Map[String, Seq[ManifestFile]],
+         rewriteAdded: Seq[ManifestFile],
+         removedPaths: Seq[String]) =
+      if (tails.isEmpty) (grown, Nil, Nil)
       else {
         val rewriteRel = s"data/v$newVersion/rewrite"
         val resolveW = Window.partitionBy(keyCols.map(col): _*)
@@ -556,7 +694,7 @@ class LakeTable(
         val afterSnapshot = cur.copy(schemaDdl = newSchema.toDDL)
         liftDrift(afterSnapshot,
             readFiles(extendedSchema(afterSnapshot, newSchema),
-              tails.values.flatten.toSeq))
+              tails.values.flatten.map(_.path).toSeq))
           .withColumn("__bucket", bucketExpr)
           .withColumn("__mrn", row_number().over(resolveW))
           .filter(col("__mrn") === 1).drop("__mrn")
@@ -564,20 +702,41 @@ class LakeTable(
           .write.mode(SaveMode.Overwrite)
           .partitionBy("__bucket")
           .parquet(s"$tablePath/$rewriteRel")
-        val rewritten = enumerateBucketFiles(rewriteRel)
-        grown.map { case (b, fs) =>
+        val rewritten = enumerateBucketEntries(rewriteRel)
+        val removed = tails.values.flatten.map(_.path).toSeq
+        val fin = grown.map { case (b, fs) =>
           tails.get(b) match {
             case Some(tail) =>
-              b -> (fs.filterNot(tail.toSet) ++ rewritten.getOrElse(b, Nil))
+              val rm = tail.map(_.path).toSet
+              b -> (fs.filterNot(f => rm(f.path)) ++ rewritten.getOrElse(b, Nil))
             case None => b -> fs
           }
         }
+        (fin, rewritten.values.flatten.toSeq, removed)
+      }
+
+    // 7. manifest: O(files touched by this commit) of metadata — or a
+    //    base manifest carrying the full live set when the chain needs
+    //    consolidating (amortized O(live/ManifestChainMax) per commit)
+    val manifestChain: Seq[String] =
+      if (cur.manifests.size >= ManifestChainMax)
+        Seq(writeManifest(Manifest(newVersion, base = true,
+          added = finalEntries.values.flatten.toSeq, removed = Nil)))
+      else {
+        // a delta file can be minor-compacted away within its OWN commit
+        // (it landed in the tail) — the fold applies removed-then-added,
+        // so `added` must list only files still live after the rewrite
+        val rm = removedPaths.toSet
+        cur.manifests :+ writeManifest(Manifest(newVersion, base = false,
+          added = (deltaFiles.values.flatten.filterNot(f => rm(f.path)) ++
+            rewriteAdded).toSeq,
+          removed = removedPaths))
       }
 
     val next = cur.copy(
       version = newVersion,
       schemaDdl = newSchema.toDDL,
-      files = finalFiles,
+      manifests = manifestChain,
       appliedUpTo = cur.appliedUpTo + (checkpointId -> batchId),
       lineage = cur.lineage ++ batchLineage.map { case (b, mx) =>
         b -> math.max(mx, cur.lineage.getOrElse(b, Long.MinValue)) },
@@ -588,61 +747,29 @@ class LakeTable(
       nRows, nUpserts, nDeletes, touched.size, newCols)
   }
 
-  /** Exact per-bucket max `__lsn` from parquet footer column statistics —
-    * metadata-only reads, no Spark job. A file whose stats are somehow
-    * absent just doesn't advance that bucket's watermark (lineage is
-    * monotone-merged into the snapshot, never decreased).
+  /** Children of a directory with the stream CLOSED — `Files.list` leaks
+    * one fd per call otherwise (large tables exhaust the process limit).
     */
-  private def footerMaxLsn(rel: Map[String, Seq[String]]): Map[String, Long] = {
-    val conf = spark.sessionState.newHadoopConf()
-    def fileMax(f: String): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$tablePath/$f"), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getBlocks.asScala.iterator
-        .flatMap { blk =>
-          blk.getColumns.asScala
-            .find(_.getPath.toDotString == LsnMeta)
-            .flatMap(cc => Option(cc.getStatistics))
-            .filter(st => !st.isEmpty && st.hasNonNullValue)
-            .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-        }.foldLeft(Long.MinValue)(math.max)
-      finally r.close()
-    }
-    // footer reads are ~15-20 ms each (open + tail read); serially that
-    // is a second of driver time per batch at 64 buckets — read them on
-    // a bounded pool instead (a manifest file would replace this wholesale
-    // at cluster scale)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, rel.values.map(_.size).sum)))
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      import scala.concurrent.{Await, Future}
-      val futs = rel.toSeq.map { case (b, fs) =>
-        Future(b -> fs.map(fileMax).foldLeft(Long.MinValue)(math.max))
-      }
-      Await.result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
-        .filter(_._2 != Long.MinValue).toMap
-    } finally pool.shutdown()
+  private def listChildren(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toSeq finally st.close()
   }
 
-  /** Size of a table-relative data file (0 if missing — a lost file shows
-    * up at read, not here).
+  /** List `$tablePath/$rel/__bucket=B/` parquet files → bucket -> manifest
+    * entries (path + size). The one local stat per JUST-WRITTEN file here
+    * is the only time a file's size is ever read from the filesystem —
+    * afterwards it travels in the manifests.
     */
-  private def fileSize(rel: String): Long =
-    try Files.size(root.resolve(rel)) catch { case _: java.io.IOException => 0L }
-
-  /** List `$tablePath/$rel/__bucket=B/` parquet files → bucket -> relative paths. */
-  private def enumerateBucketFiles(rel: String): Map[String, Seq[String]] = {
+  private def enumerateBucketEntries(rel: String): Map[String, Seq[ManifestFile]] = {
     val dir = Paths.get(tablePath).resolve(rel)
-    Files.list(dir).iterator().asScala
+    listChildren(dir)
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix("__bucket=")
-        val fs = Files.list(p).iterator().asScala
+        val fs = listChildren(p)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => s"$rel/__bucket=$b/${f.getFileName}").toSeq
+          .map(f => ManifestFile(b, s"$rel/__bucket=$b/${f.getFileName}",
+            try Files.size(f) catch { case _: java.io.IOException => 0L }))
         b -> fs
       }.toMap
   }
@@ -674,28 +801,42 @@ class LakeTable(
           "the range cannot be served incrementally; re-read the table")
     }
     val sch = StructType.fromDDL(cur.schemaDdl)
-    val perVersion = ((fromVersionExclusive + 1) to toVersionInclusive).flatMap { v =>
+    // ONE scan over every version's delta files; `__version` is derived
+    // from the file path via the `_metadata` hidden column instead of an
+    // N-way unionByName chain — a 100-version range plans one Scan node,
+    // not 100 scans glued by a union (whose per-branch fixed costs and
+    // un-shared file listing dominate at wide ranges)
+    val rel = ((fromVersionExclusive + 1) to toVersionInclusive).flatMap { v =>
       val deltaDir = root.resolve(s"data/v$v/delta")
-      if (!Files.isDirectory(deltaDir)) None // compaction-only version
-      else {
-        val rel = enumerateBucketFiles(s"data/v$v/delta").values.flatten.toSeq
-        if (rel.isEmpty) None
-        else Some(liftDrift(cur, readFiles(extendedSchema(cur, sch), rel))
-          .withColumn("__version", lit(v)))
-      }
+      if (!Files.isDirectory(deltaDir)) Nil // compaction-only version
+      else enumerateBucketEntries(s"data/v$v/delta").values.flatten.map(_.path)
     }
-    if (perVersion.isEmpty)
+    if (rel.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(sch.fields :+ StructField("__version", LongType, nullable = false)))
-    else perVersion.reduce(_.unionByName(_))
+    else
+      liftDrift(cur, readFiles(extendedSchema(cur, sch), rel)
+        .withColumn("__version",
+          regexp_extract(col("_metadata.file_path"), "/data/v(\\d+)/delta/", 1)
+            .cast(LongType)))
   }
 
   /** Expire old snapshots and vacuum their orphaned data files — the GC
     * half of table maintenance (compaction bounds read amplification;
     * this bounds storage). Keeps the most recent `keepLast` snapshots
-    * (the time-travel and change-feed window); every data file not
-    * referenced by a retained snapshot AND not a change-feed delta of a
-    * retained version is deleted, along with expired snapshot JSONs.
+    * (the time-travel and change-feed window).
+    *
+    * Deletion is scoped to files the EXPIRED snapshots own: a file is
+    * deleted only if (referenced by an expired snapshot, or living under
+    * an expired version's `data/vN/` directory) AND not referenced by any
+    * retained snapshot AND not a change-feed delta of a retained version.
+    * Files owned by NO snapshot are never touched — a concurrent writer's
+    * just-written delta for the in-flight version `cur+1` is unreferenced
+    * at walk time, and the earlier walk-everything policy would have
+    * deleted it out from under the commit (the OCC check cannot protect
+    * files that are not yet referenced). Orphans from crashed/rejected
+    * commits at versions ≤ cur are reclaimed once those versions expire
+    * (their `data/vN/` dirs fall in scope).
     *
     * Crash-safe by ordering: snapshot JSONs are deleted only after the
     * data files they exclusively referenced — a crash mid-vacuum leaves
@@ -707,19 +848,26 @@ class LakeTable(
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $tablePath not initialized"))
-    val all = Files.list(snapshotsDir).iterator().asScala
+    val all = listChildren(snapshotsDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
     val retained = all.filter(_ > cur.version - keepLast)
     val expired = all.filterNot(retained.contains)
     if (expired.isEmpty) return (0, 0)
     // keep: files referenced by any retained snapshot, plus the feed
     // deltas of retained versions (changeFeed reads them from disk even
     // when compaction has de-referenced them)
-    val referenced: Set[String] = retained
-      .flatMap(v => snapshot(v).files.values.flatten).toSet
+    val retainedSnaps = retained.map(snapshot)
+    val referenced: Set[String] = retainedSnaps
+      .flatMap(s => filesOf(s).values.flatten).toSet
+    val expiredSet = expired.toSet
+    def ownedByExpired(rel: String): Boolean =
+      // data/vN/... paths version-own their dir; snapshot refs cover the rest
+      relVersion(rel).exists(expiredSet.contains)
+    val expiredReferenced: Set[String] =
+      expired.flatMap(v => filesOf(snapshot(v)).values.flatten).toSet
     def keepPath(rel: String): Boolean =
       referenced.contains(rel) ||
         retained.exists(v => rel.startsWith(s"data/v$v/delta/"))
@@ -729,18 +877,44 @@ class LakeTable(
       val walk = Files.walk(dataDir)
       try walk.iterator().asScala.toSeq.reverse.foreach { p =>
         val rel = root.relativize(p).toString
-        if (Files.isRegularFile(p) && !keepPath(rel)) {
+        if (Files.isRegularFile(p) &&
+            (ownedByExpired(rel) || expiredReferenced.contains(rel)) &&
+            !keepPath(rel)) {
           Files.delete(p); deleted += 1
         } else if (Files.isDirectory(p) &&
-            !Files.list(p).iterator().hasNext) {
+            relVersion(rel + "/").exists(expiredSet.contains) &&
+            listChildren(p).isEmpty) {
           Files.delete(p)
         }
       } finally walk.close()
+    }
+    // manifest GC, same ownership rule as data files: reclaim manifests
+    // whose version ≤ current and that no retained snapshot references —
+    // an in-flight writer's manifest (version = cur+1) is untouched
+    val liveManifests: Set[String] = retainedSnaps.flatMap(_.manifests).toSet
+    if (Files.isDirectory(manifestsDir)) {
+      listChildren(manifestsDir).foreach { p =>
+        val rel = root.relativize(p).toString
+        val v = ManifestNameRe.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toLong)
+        if (v.exists(_ <= cur.version) && !liveManifests.contains(rel))
+          Files.deleteIfExists(p)
+      }
     }
     expired.foreach(v => Files.deleteIfExists(
       snapshotsDir.resolve(s"snapshot-$v.json")))
     (expired.size, deleted)
   }
+  private val ManifestNameRe = "^m-(\\d+)-".r
+
+  /** The version that owns `data/vN/...` (None for paths outside the
+    * per-version layout).
+    */
+  private def relVersion(rel: String): Option[Long] = {
+    val m = VersionDirRe.findFirstMatchIn(rel)
+    m.map(_.group(1).toLong)
+  }
+  private val VersionDirRe = "^data/v(\\d+)/".r
 
   /** Compact the table: rewrite every bucket into one file, materializing
     * drift columns (and dropping the delta-side `extra` carrier). With
@@ -760,8 +934,11 @@ class LakeTable(
       .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")
-    val newBucketFiles = enumerateBucketFiles(dataRel)
-    val next = cur.copy(version = newVersion, files = newBucketFiles,
+    val newBucketFiles = enumerateBucketEntries(dataRel)
+    // major compaction naturally resets the manifest chain to one base
+    val manifest = writeManifest(Manifest(newVersion, base = true,
+      added = newBucketFiles.values.flatten.toSeq, removed = Nil))
+    val next = cur.copy(version = newVersion, manifests = Seq(manifest),
       parentVersion = cur.version)
     commitSnapshot(next)
     next
@@ -770,13 +947,17 @@ class LakeTable(
 
 object LakeTable {
 
-  /** JSON (de)serialization of snapshots via json4s (ships with Spark). */
+  /** JSON (de)serialization of snapshots + manifests via json4s (ships
+    * with Spark).
+    */
   object SnapshotCodec {
     import org.json4s._
     import org.json4s.jackson.Serialization
     implicit val formats: Formats = Serialization.formats(NoTypeHints)
     def toJson(s: Snapshot): String = Serialization.writePretty(s)
     def fromJson(j: String): Snapshot = Serialization.read[Snapshot](j)
+    def manifestToJson(m: Manifest): String = Serialization.writePretty(m)
+    def manifestFromJson(j: String): Manifest = Serialization.read[Manifest](j)
   }
 
   def apply(spark: SparkSession, path: String,

@@ -27,14 +27,14 @@ class LakeTableMorSpec extends SparkSpec {
     lake.createIfAbsent(StructType.fromDDL(baseDdl))
 
     lake.merge(Seq(ev(1, "insert", 1), ev(2, "insert", 2)).toDS().toDF(), "t", 0L)
-    val v1Files = lake.currentSnapshot.get.files
+    val v1Files = lake.filesOf(lake.currentSnapshot.get)
     assert(v1Files.values.flatten.forall(_.startsWith("data/v1/delta/")))
 
     lake.merge(Seq(ev(3, "update", 1)).toDS().toDF(), "t", 1L)
     val v2 = lake.currentSnapshot.get
     // the touched bucket keeps its v1 file AND gains a v2 delta — no
     // copy-on-write rewrite below the budget
-    val v2All = v2.files.values.flatten.toSeq
+    val v2All = lake.filesOf(v2).values.flatten.toSeq
     assert(v1Files.values.flatten.forall(v2All.contains),
       "delta merge must not drop or rewrite prior files under budget")
     assert(v2All.exists(_.startsWith("data/v2/delta/")))
@@ -58,7 +58,7 @@ class LakeTableMorSpec extends SparkSpec {
       lake.merge(Seq(ev(100 + i, "update", 1), ev(200 + i, "update", 2),
         ev(300 + i, if (i % 4 == 3) "delete" else "update", 3))
         .toDS().toDF(), "t", i.toLong)
-      val counts = lake.currentSnapshot.get.files.view.mapValues(_.size)
+      val counts = lake.filesOf(lake.currentSnapshot.get).view.mapValues(_.size)
       assert(counts.values.forall(_ <= budget),
         s"bucket over budget at batch $i: ${counts.toMap}")
     }
@@ -109,7 +109,7 @@ class LakeTableMorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
     lake.compact()
-    assert(lake.currentSnapshot.get.files.values.forall(_.size <= 1))
+    assert(lake.filesOf(lake.currentSnapshot.get).values.forall(_.size <= 1))
     val fastPlan = lake.read().queryExecution.executedPlan.toString
     assert(!fastPlan.contains("Exchange") && !fastPlan.contains("Window"),
       s"compacted read must skip the winner window:\n$fastPlan")
@@ -129,7 +129,7 @@ class LakeTableMorSpec extends SparkSpec {
     // so exactly the bucket holding key 1 becomes multi-file
     lake.merge((1 to 8).map(k => ev(k.toLong, "insert", k)).toDS().toDF(), "t", 0L)
     lake.merge(Seq(ev(100, "update", 1)).toDS().toDF(), "t", 1L)
-    val files = lake.currentSnapshot.get.files
+    val files = lake.filesOf(lake.currentSnapshot.get)
     assert(files.values.exists(_.size > 1) && files.values.exists(_.size == 1),
       s"test precondition: one multi-file and one single-file bucket, got $files")
 
@@ -153,7 +153,7 @@ class LakeTableMorSpec extends SparkSpec {
     lake.createIfAbsent(StructType.fromDDL(baseDdl))
     lake.merge((1 to 16).map(k => ev(k.toLong, "insert", k)).toDS().toDF(), "t", 0L)
     lake.merge(Seq(ev(100, "update", 5), ev(101, "delete", 6)).toDS().toDF(), "t", 1L)
-    assert(lake.currentSnapshot.get.files.size > 1, "need several buckets")
+    assert(lake.filesOf(lake.currentSnapshot.get).size > 1, "need several buckets")
 
     // hit: latest version of the key
     val hit = lake.lookup(Seq("r2", "p5"))
@@ -258,5 +258,90 @@ class LakeTableMorSpec extends SparkSpec {
       === "content-1-k1")
     assert(lake.readVersion(2).select("content").head().getString(0)
       === "content-2-k1")
+  }
+
+  test("vacuum never touches an in-flight writer's unreferenced delta (version > current)") {
+    import spark.implicits._
+    val dir = tmpDir("mor-vacuum-live")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2, maxFilesPerBucket = 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    (0 until 6).foreach { i =>
+      lake.merge(Seq(ev(10 + i, "update", 1)).toDS().toDF(), "t", i.toLong)
+    }
+    val cur = lake.currentVersion.get
+    // a concurrent writer has written (but not yet committed) v cur+1:
+    // its delta files are referenced by NO snapshot at walk time
+    val inflight = java.nio.file.Paths.get(dir,
+      s"data/v${cur + 1}/delta/__bucket=0/part-inflight.parquet")
+    java.nio.file.Files.createDirectories(inflight.getParent)
+    java.nio.file.Files.writeString(inflight, "pending commit bytes")
+    // and an old crashed commit left an orphan in an EXPIRED version dir:
+    // that one IS reclaimable once the version expires
+    val orphan = java.nio.file.Paths.get(dir,
+      "data/v1/delta/__bucket=0/part-orphan.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.writeString(orphan, "crashed commit bytes")
+    val (expired, deleted) = lake.expireSnapshots(keepLast = 2)
+    assert(expired > 0 && deleted > 0)
+    assert(java.nio.file.Files.exists(inflight),
+      "vacuum deleted an in-flight writer's uncommitted delta")
+    assert(!java.nio.file.Files.exists(orphan),
+      "expired-version orphan from a crashed commit must be reclaimed")
+    assert(lake.read().count() > 0)
+  }
+
+  test("lookup casts caller values to the key column types before bucket hashing") {
+    import spark.implicits._
+    val dir = tmpDir("mor-lookup-cast")
+    val lake = LakeTable(spark, dir, Seq("id"), 8)
+    lake.createIfAbsent(StructType.fromDDL("id BIGINT, content STRING"))
+    val batch = (1 to 20).map(i => (i.toLong, s"v$i", i.toLong, "insert"))
+      .toDF("id", "content", "lsn", "op")
+    lake.merge(batch, "t", 0L)
+    // exact-type lookup
+    assert(lake.lookup(Seq(5L)).select("content").head().getString(0) === "v5")
+    // string and int callers must hash like the writer's BIGINT column —
+    // an uncast Literal("5") prunes to the wrong bucket and finds nothing
+    assert(lake.lookup(Seq("5")).select("content").head().getString(0) === "v5")
+    assert(lake.lookup(Seq(5)).select("content").head().getString(0) === "v5")
+    // unparseable values fail loudly instead of returning "not found"
+    intercept[IllegalArgumentException] { lake.lookup(Seq("not-a-number")) }
+  }
+
+  test("manifest chain: snapshots never inline file lists, the chain consolidates, " +
+      "and executor-observed lineage watermarks are exact") {
+    import spark.implicits._
+    val dir = tmpDir("mor-manifest")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2, maxFilesPerBucket = 4)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    // 30 merges > ManifestChainMax(24): forces at least one consolidation
+    (0 until 30).foreach { i =>
+      lake.merge(Seq(ev(1000 + i, "update", 1), ev(2000 + i, "update", 2))
+        .toDS().toDF(), "t", i.toLong)
+    }
+    val s = lake.currentSnapshot.get
+    // snapshot JSON carries manifest refs + lineage, never data file paths
+    val snapJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      dir, "_snapshots", s"snapshot-${s.version}.json"))
+    assert(!snapJson.contains(".parquet"),
+      "snapshot must reference manifests, not inline data files")
+    assert(s.manifests.nonEmpty && s.manifests.size <= 25,
+      s"chain must consolidate, got ${s.manifests.size} manifests")
+    // the fold matches reality: every referenced file exists on disk
+    val files = lake.filesOf(s)
+    assert(files.values.flatten.nonEmpty)
+    files.values.flatten.foreach { rel =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel)),
+        s"manifest references missing file $rel")
+    }
+    // lineage watermarks (observe-side aggregate, no footer reads) are the
+    // exact max lsn ever applied across buckets
+    assert(s.lineage.values.max === 2029L)
+    // state correct after 30 merges + consolidations + minor compactions
+    val rows = lake.read().select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("p1" -> "content-1029-k1", "p2" -> "content-2029-k2"))
+    // time travel folds an OLD snapshot's chain correctly
+    assert(lake.readVersion(5).count() === 2L)
   }
 }
