@@ -293,6 +293,61 @@ object SparkEntry {
       "doc_id", "text", n = 4)
   }
 
+  /** The lake MERGE + bucket-pruned point lookup as an oracle-checked
+    * row: ingest the events changelog into a fresh LakeTable (key =
+    * user_id, purchase ⇒ delete) in one merge commit, then `lookup` the
+    * smallest user id. The oracle recomputes that user's final state in
+    * SQL — green iff the merge winner reduction, the manifest fold, the
+    * typed bucket hash, AND the bucket pruning all agree with the
+    * declarative semantics.
+    */
+  private def lakeLookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-lookup").toString
+    val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
+    lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, last_op STRING, last_value DOUBLE"))
+    lake.merge(ev.select(
+      col("user_id"),
+      col("event_type").as("last_op"),
+      col("value").as("last_value"),
+      col("event_id").as("lsn"),
+      when(col("event_type") === "purchase", "delete")
+        .otherwise("upsert").as("op")), "lookup-q", 0L)
+    val k = ev.agg(min(col("user_id"))).head().getLong(0)
+    lake.lookup(Seq(k))
+  }
+
+  /** The lake incremental change feed as an oracle-checked row: three
+    * merge commits (events split by event_id mod 3), then
+    * `changeFeed(0, 3)` — per version, exactly that batch's winner set
+    * with upserts AND tombstones and `__lsn`/`__deleted`/`__version`
+    * provenance. The oracle recomputes each batch's per-key winner in
+    * SQL. Also pins the single-scan feed plan's `__version` derivation
+    * from file paths.
+    */
+  private def lakeChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-feed").toString
+    val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
+    lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, last_op STRING, last_value DOUBLE"))
+    (0 until 3).foreach { b =>
+      lake.merge(ev.filter(pmod(col("event_id"), lit(3)) === b).select(
+        col("user_id"),
+        col("event_type").as("last_op"),
+        col("value").as("last_value"),
+        col("event_id").as("lsn"),
+        when(col("event_type") === "purchase", "delete")
+          .otherwise("upsert").as("op")), "feed-q", b.toLong)
+    }
+    lake.changeFeed(0L, lake.currentVersion.get)
+      .select("user_id", "last_op", "last_value",
+        "__lsn", "__deleted", "__version")
+  }
+
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.synthetic(spark, 500))
       .toDF()
@@ -334,7 +389,10 @@ object SparkEntry {
     "neardup_clusters" -> clusterKeepers,
     "sample_stratified" -> sampleStratified,
     "contamination" -> contaminationCheck,
-    "multimodal_features" -> multimodalFeatures)
+    "multimodal_features" -> multimodalFeatures,
+    // lake maintenance surface (merge + lookup + change feed) as rows
+    "lake_lookup" -> lakeLookup,
+    "lake_change_feed" -> lakeChangeFeed)
 
   def oracleSql: Map[String, String] = Map(
     "cdc_final_state" ->
@@ -606,6 +664,24 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
         |  count(DISTINCT p.probe_id) AS n_probe_docs
         |FROM c JOIN p USING (g) GROUP BY 1""".stripMargin,
+    // the lake merge reducer + bucket-pruned lookup from first principles:
+    // final state (latest lsn wins, purchase ⇒ tombstone) of the smallest
+    // user id
+    "lake_lookup" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase'
+        |  AND user_id = (SELECT min(user_id) FROM events)""".stripMargin,
+    // per-batch winner sets (batch = event_id mod 3 → version batch+1),
+    // tombstones included, with lsn/deleted/version provenance
+    "lake_change_feed" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value,
+        |  event_id AS __lsn, (event_type = 'purchase') AS __deleted,
+        |  (event_id % 3) + 1 AS __version
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 3
+        |        ORDER BY event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
     // regenerates Multimodal.synthetic + decodeStub's arithmetic outputs
     // from first principles (payload byte j of media i = (i*31+j*7)%251)
     "multimodal_features" ->
