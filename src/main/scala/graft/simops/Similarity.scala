@@ -191,6 +191,60 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("__centroid"))
 
+  /** Deterministic Lloyd's k-means refinement of the IVF coarse
+    * quantizer: start from the `nCells` lowest-id vectors (the same
+    * deterministic seed [[ivfCentroids]] uses) and run `iters` rounds of
+    * assign → per-cell mean. No RNG anywhere, so the index is
+    * reproducible run-to-run and cluster-size-independent.
+    *
+    * Scale shape per round: assignment is the inlined-centroid
+    * expression ([[ivfAssign]] — a codegen'd map over the scan, zero
+    * shuffle), and the update is ONE map-side-combined aggregation
+    * (posexplode dims → groupBy(cell, dim) avg → rebuild arrays on the
+    * driver, ≤ nCells × dim values). Empty cells keep their previous
+    * centroid. Returns (cid, __centroid double array), drop-in for
+    * [[ivfTopK]]'s centroid frame.
+    */
+  def ivfCentroidsKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var cents: DataFrame = ivfCentroids(corpus, idCol, vecCol, nCells)
+      .select(col("cid").cast("long").as("cid"),
+        transform(col("__centroid"), x => x.cast("double")).as("__centroid"))
+    val centSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("__centroid", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(
+        corpus.select(col(idCol).as("__rid"), col(vecCol).as("__v")),
+        cents, "__rid", "__v")
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCell: Map[Long, Array[Double]] = means
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          cid -> arr
+        }
+      val updated = cents.collect().map { r =>
+        val cid = r.getLong(0)
+        byCell.get(cid) match {
+          case Some(m) => Row(cid, m.toSeq)
+          case None => Row(cid, r.getSeq[Double](1)) // empty cell: keep
+        }
+      }
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(updated.toIndexedSeq, 1), centSchema)
+    }
+    cents
+  }
+
   /** Rank each row's centroids by cosine (1 = nearest); ties by cid.
     * Returns (rowId, vec, cid, crank ≤ maxRank). Query-side only (a
     * handful of rows × nCells): the corpus-side assignment uses the
@@ -224,11 +278,16 @@ object Similarity {
     // expression performs (cast-to-double, left-to-right sum, sqrt) —
     // bit-identical to computing norm(centroid) per row, 1/3 the
     // interpreted-HOF work; the row's own norm is computed once in a
-    // helper column instead of once per centroid
-    def driverNorm(v: Seq[Float]): Double =
-      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    // helper column instead of once per centroid.
+    // Centroids may be float arrays (raw corpus seeds) or double arrays
+    // (k-means means); float→double widening is exact, so inlining every
+    // centroid as a double literal leaves the float-seed arithmetic
+    // bit-identical.
+    def driverNorm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
     val scored: Seq[Column] = cents.toSeq.map { r =>
-      val cv = r.getSeq[Float](1)
+      val cv: Seq[Double] = r.getSeq[Any](1)
+        .map(x => x.asInstanceOf[Number].doubleValue())
       struct(
         (dot(col(vecCol), typedLit(cv)) /
           (col("__nv") * lit(driverNorm(cv)))).as("cos"),
@@ -257,12 +316,19 @@ object Similarity {
     *
     * `nCells ≤ 0` derives the cell count from the corpus size via
     * [[autoCells]]; an explicit positive value always wins.
+    * `kmeansIters > 0` refines the coarse quantizer with that many
+    * deterministic Lloyd rounds ([[ivfCentroidsKmeans]]) — tighter cells
+    * mean better recall at the same nProbe; 0 keeps the raw seed
+    * centroids (the SQL-oracle-reproducible shape the driver checks).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
     val cells = if (nCells > 0) nCells else autoCells(corpus.count())
-    val cent = ivfCentroids(corpus, idCol, vecCol, cells)
+    val cent =
+      if (kmeansIters > 0)
+        ivfCentroidsKmeans(corpus, idCol, vecCol, cells, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, cells)
     val c = ivfAssign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       cent, "neighbor_id", "__cv")

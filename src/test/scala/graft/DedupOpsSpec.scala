@@ -206,6 +206,42 @@ class DedupOpsSpec extends SparkSpec {
       k = 3, nCells = 0, nProbe = 2).count() > 0)
   }
 
+  test("deterministic k-means IVF centroids beat the raw seeds on cell quality") {
+    import graft.simops.Similarity
+    import spark.implicits._
+    // 4 well-separated clusters; the 8 lowest ids (the raw quantizer's
+    // seeds) ALL sit in cluster 0 — the worst case for the degenerate
+    // lowest-id quantizer, which k-means must recover from
+    val vecs = (0 until 100).map { i =>
+      val c = if (i < 8) 0 else i % 4
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == c * 2) 10f else 0f
+        base + ((i * 31 + d * 7) % 5 - 2) * 0.1f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def avgCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(
+          vecs.select(col("vec_id").as("id"), col("embedding").as("__v")),
+          cents, "id", "__v")
+        .join(cents.withColumnRenamed("cid", "cid2"),
+          col("cid") === col("cid2"))
+        .select(avg(Similarity.cosine(col("__v"), col("__centroid"))))
+        .head().getDouble(0)
+    val raw = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 8)
+    val km = Similarity.ivfCentroidsKmeans(vecs, "vec_id", "embedding", 8, iters = 4)
+    // deterministic: a second run reproduces the centroids exactly
+    val km2 = Similarity.ivfCentroidsKmeans(vecs, "vec_id", "embedding", 8, iters = 4)
+    assert(km.collect().map(_.toString).sorted
+      sameElements km2.collect().map(_.toString).sorted)
+    val (q0, q1) = (avgCos(raw), avgCos(km))
+    assert(q1 > q0 + 0.02, f"k-means must tighten cells: raw=$q0%.4f km=$q1%.4f")
+    // and it plugs into the search path
+    assert(Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2,
+      kmeansIters = 3).count() > 0)
+  }
+
   test("ngram jaccard pairs: known overlap") {
     import spark.implicits._
     val df = Seq(

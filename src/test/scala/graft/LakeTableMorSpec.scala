@@ -344,4 +344,49 @@ class LakeTableMorSpec extends SparkSpec {
     // time travel folds an OLD snapshot's chain correctly
     assert(lake.readVersion(5).count() === 2L)
   }
+
+  test("a non-compacting merge commit runs exactly ONE Spark job") {
+    import spark.implicits._
+    val dir = tmpDir("mor-onejob")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2, maxFilesPerBucket = 8)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    lake.merge(Seq(ev(1, "insert", 1)).toDS().toDF(), "t", 0L)
+    // warm batch done; now count jobs during a steady-state merge. The
+    // one-job property is the replay throughput's serial-floor budget:
+    // stats + drift keys + per-bucket lineage all ride the write job's
+    // observe() — a second job here is a regression even if tests pass.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // pre-materialized input so the job count is the MERGE's, not the
+      // fixture's
+      val batch = Seq(ev(2, "update", 1), ev(3, "insert", 2))
+        .toDS().toDF().localCheckpoint()
+      // the listener bus is async: settle = count unchanged for 500 ms
+      def settle(): Int = {
+        var last = -1
+        var cur = jobs.get()
+        var spins = 0
+        while (cur != last && spins < 20) {
+          last = cur; Thread.sleep(500); cur = jobs.get(); spins += 1
+        }
+        cur
+      }
+      settle()
+      jobs.set(0)
+      // AQE materializes each query stage as its own job, which makes the
+      // job count a stage count; disable it here so one action = one job
+      // and the assertion measures ACTIONS (data passes over the batch)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try lake.merge(batch, "t", 1L, preReduced = true)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val n = settle()
+      assert(n === 1, s"merge commit must be exactly one Spark action, saw $n")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
