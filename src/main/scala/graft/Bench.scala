@@ -454,16 +454,25 @@ object Bench {
       // phase 1+2: identical cold-JVM, warmed-up replays at N and 4N
       // threads, interleaved and repeated — this VM's CPU steal is bursty
       // (single runs vary +-2x), so the per-level minimum over interleaved
-      // reps estimates uncontended capability for both levels equally
+      // reps estimates uncontended capability for both levels equally.
+      // The 4N level gets EXTRA reps: its wall is ~4x shorter, so one
+      // steal burst corrupts a 4N sample far more than an N sample (a
+      // 20 s burst is ~60% of a 33 s run but ~17% of a 115 s run) — the
+      // min estimator needs more samples exactly where per-sample
+      // corruption is likeliest. Measured r4: 4N reps spread 40.8-62.6 s
+      // (1.5x) within one throttled protocol run while N spread 9%.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      val runs = (0 until reps).flatMap { i =>
+      val reps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_4N",
+        (reps + 2).toString).toInt
+      val runs = (0 until math.max(reps, reps4N)).flatMap { i =>
         def one(cores: Int) = {
           val d = s"$workDir/r$cores-$i"
           val r = replayIsolated(cores, cachedLog, d, warmLog)
           rmTree(new java.io.File(d)) // keep tmpfs bounded across reps
           cores -> r
         }
-        Seq(one(nCores), one(n4Cores))
+        (if (i < reps) Seq(one(nCores)) else Nil) ++
+          (if (i < reps4N) Seq(one(n4Cores)) else Nil)
       }
       val by = runs.groupBy(_._1)
       ev8 = by(nCores).head._2._1; ev32 = by(n4Cores).head._2._1
