@@ -272,6 +272,24 @@ object SparkEntry {
     Curation.neardupClusters(docs, "doc_id", pairs)
   }
 
+  /** The cluster-dedup APPLY step: documents that survive near-dup
+    * cluster resolution (keeper = min doc_id per connected component of
+    * the minhash pair graph; singletons survive as their own keeper).
+    * This is the row set a training-data pipeline actually keeps —
+    * `neardup_clusters` checks the labeling, this checks the
+    * materialized survivor corpus.
+    */
+  private def neardupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+      .select("id_a", "id_b")
+    val keepers = Curation.neardupClusters(docs, "doc_id", pairs)
+    docs.join(keepers, "doc_id")
+      .filter(col("doc_id") === col("keeper_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Deterministic stratified sampling: en at 1/2, de+fr at 1/4, other
     * strata at 1/8 — exact 32-bit integer thresholds on the md5-prefix
     * uniform, bit-reproducible in any engine.
@@ -390,6 +408,7 @@ object SparkEntry {
     "sample_stratified" -> sampleStratified,
     "contamination" -> contaminationCheck,
     "multimodal_features" -> multimodalFeatures,
+    "neardup_survivors" -> neardupSurvivors,
     // lake maintenance surface (merge + lookup + change feed) as rows
     "lake_lookup" -> lakeLookup,
     "lake_change_feed" -> lakeChangeFeed)
@@ -664,6 +683,26 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
         |  count(DISTINCT p.probe_id) AS n_probe_docs
         |FROM c JOIN p USING (g) GROUP BY 1""".stripMargin,
+    // survivor corpus of cluster dedup: same recursive min-label closure
+    // as neardup_clusters, keeping only rows whose keeper is themselves
+    "neardup_survivors" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |posts AS (SELECT id, sz, unnest(grams) AS g FROM sz),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM posts a JOIN posts b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE)/(a.sz+b.sz-count(*)) >= 0.6),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS label FROM sz
+        |  UNION
+        |  SELECT e.v AS id, r.label FROM reach r JOIN edges e ON e.u = r.id),
+        |keep AS (SELECT id AS doc_id, min(label) AS keeper FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN keep USING (doc_id)
+        |WHERE keep.keeper = d.doc_id""".stripMargin,
     // the lake merge reducer + bucket-pruned lookup from first principles:
     // final state (latest lsn wins, purchase ⇒ tombstone) of the smallest
     // user id
