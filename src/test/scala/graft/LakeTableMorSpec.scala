@@ -345,6 +345,46 @@ class LakeTableMorSpec extends SparkSpec {
     assert(lake.readVersion(5).count() === 2L)
   }
 
+  test("property: random merge/compact/expire sequences keep the manifest fold " +
+      "equal to a reference state machine") {
+    import spark.implicits._
+    val dir = tmpDir("mor-prop")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 4, maxFilesPerBucket = 3)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    val rnd = new scala.util.Random(42) // seeded: deterministic failure repro
+    // reference: key -> (lsn, deleted, content)
+    val ref = scala.collection.mutable.Map.empty[(String, String), (Long, Boolean, String)]
+    var lsn = 0L
+    var batchId = 0L
+    (0 until 30).foreach { step =>
+      rnd.nextInt(10) match {
+        case 8 => lake.compact(dropTombstones = false)
+        case 9 => lake.expireSnapshots(keepLast = 2)
+        case _ =>
+          val events = (0 until 1 + rnd.nextInt(6)).map { _ =>
+            lsn += 1
+            val k = 1 + rnd.nextInt(12)
+            val op = if (rnd.nextInt(5) == 0) "delete" else "update"
+            val e = ev(lsn, op, k)
+            ref((e.repo, e.path)) = (lsn, op == "delete", e.content)
+            e
+          }
+          lake.merge(events.toDS().toDF(), "prop", batchId)
+          batchId += 1
+      }
+    }
+    val got = lake.read().select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val want = ref.collect { case (k, (_, false, c)) => k -> c }.toMap
+    assert(got === want,
+      "manifest-folded state diverged from the reference state machine")
+    // the fold references only files that exist
+    val files = lake.filesOf(lake.currentSnapshot.get)
+    files.values.flatten.foreach { rel =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel)), rel)
+    }
+  }
+
   test("a non-compacting merge commit runs exactly ONE Spark job") {
     import spark.implicits._
     val dir = tmpDir("mor-onejob")
