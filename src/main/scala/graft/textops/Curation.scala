@@ -43,10 +43,11 @@ object Curation {
     *
     * Scale shape: each star op is one map-side-combined `min` aggregation
     * plus one shuffle join on the same key; the edge list is materialized
-    * per round ([[graft.util.Materialize]] barrier) and convergence is
-    * detected by an order-insensitive edge-multiset fingerprint computed
-    * off the pinned blocks (count + bounded-hash sum — a wrong "stable"
-    * verdict needs a 2^-64 hash-sum collision).
+    * per round ([[graft.util.Materialize]] barrier). Convergence is
+    * screened by an order-insensitive edge-multiset fingerprint (count +
+    * bounded-hash sum, computed off the pinned blocks) and CONFIRMED by
+    * an exact anti-join set comparison — run once, at the stable round —
+    * so the stop condition is exact, not probabilistic.
     *
     * @param docs  one row per document (singletons become their own
     *              keeper)
@@ -87,7 +88,11 @@ object Curation {
     }
 
     /** Order-insensitive multiset fingerprint of an edge list; hash values
-      * bounded < 2^31 keep the ANSI sum exact up to 2^31 edges.
+      * bounded < 2^31 keep the ANSI sum exact up to 2^31 edges. Used as
+      * the cheap per-round stability SCREEN — a matching fingerprint is
+      * CONFIRMED by an exact set comparison before the loop stops, so a
+      * 2^-64 hash-sum collision can only cost one extra round, never a
+      * wrong early stop.
       */
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)).as("n"),
@@ -95,6 +100,11 @@ object Curation {
           .as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
+    // both lists are distinct() outputs, so set equality == multiset
+    // equality; two anti-join counts, run once at convergence
+    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
+        b.join(a, Seq("u", "v"), "left_anti").isEmpty
 
     var edges = barrier(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -103,9 +113,10 @@ object Curation {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
+      val prev = edges
       edges = barrier(smallStar(largeStar(edges)))
       val fp2 = fingerprint(edges)
-      converged = fp2 == fp
+      converged = fp2 == fp && sameEdges(edges, prev)
       fp = fp2
       iter += 1
     }

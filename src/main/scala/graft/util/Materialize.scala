@@ -26,6 +26,11 @@ import org.apache.spark.sql.DataFrame
   *    1000-executor deployment default. Requires a checkpoint dir:
   *    either `SparkContext.setCheckpointDir` or the
   *    `spark.graft.checkpoint.dir` session conf (set lazily here).
+  *    Long-running STREAMING deployments should also set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` so each
+  *    micro-batch's checkpointed RDD files are reclaimed when the RDD
+  *    is garbage-collected — without it the checkpoint dir grows by one
+  *    barrier per batch forever.
   *
   * Selected per session via `spark.graft.materialize.mode` (`local` |
   * `reliable`), read at each barrier so tests can flip it at runtime.
