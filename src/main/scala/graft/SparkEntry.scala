@@ -366,6 +366,19 @@ object SparkEntry {
         "__lsn", "__deleted", "__version")
   }
 
+  /** Exact dedup over NORMALIZED text (lowercase, digit runs → 0,
+    * whitespace collapsed): catches template/boilerplate duplicates that
+    * differ only in numbers/case/layout — normalization strictly coarsens
+    * the raw-sha grouping, so n_copies here ≥ dedup_exact's for every
+    * surviving group.
+    */
+  private def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        sha2(TextAnalysis.normalizeForDedup(col("text")), 256).as("norm_sha"))
+      .groupBy(col("norm_sha"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.synthetic(spark, 500))
       .toDF()
@@ -409,6 +422,7 @@ object SparkEntry {
     "contamination" -> contaminationCheck,
     "multimodal_features" -> multimodalFeatures,
     "neardup_survivors" -> neardupSurvivors,
+    "dedup_normalized" -> dedupNormalized,
     // lake maintenance surface (merge + lookup + change feed) as rows
     "lake_lookup" -> lakeLookup,
     "lake_change_feed" -> lakeChangeFeed)
@@ -683,6 +697,14 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
         |  count(DISTINCT p.probe_id) AS n_probe_docs
         |FROM c JOIN p USING (g) GROUP BY 1""".stripMargin,
+    // exact dedup on the dedup-normalized form: lowercase, digit runs
+    // folded to 0, whitespace collapsed, trimmed — both engines replace
+    // ALL occurrences (Spark regexp_replace default; DuckDB 'g' flag)
+    "dedup_normalized" ->
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS norm_sha,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     // survivor corpus of cluster dedup: same recursive min-label closure
     // as neardup_clusters, keeping only rows whose keeper is themselves
     "neardup_survivors" ->

@@ -136,6 +136,18 @@ object TextAnalysis {
   }
 
   /** Attach the full analysis column set to a documents DataFrame. */
+  /** Dedup-robust text normalization (the CCNet/RefinedWeb-style
+    * preprocessing step in front of exact AND near dedup): lowercase,
+    * fold every digit run to `0`, collapse whitespace runs to one space,
+    * trim. Two documents differing only in numbers, casing, or layout
+    * normalize to the same string, so hashing the normalized form
+    * catches template/boilerplate duplicates raw sha misses. Pure
+    * codegen'd expressions — a map over the scan, no shuffle.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[0-9]+", "0"), "\\s+", " "))
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     qualityFeatures(t).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }

@@ -242,6 +242,23 @@ class DedupOpsSpec extends SparkSpec {
       kmeansIters = 3).count() > 0)
   }
 
+  test("normalizeForDedup: case/number/layout variants collapse; distinct text survives") {
+    import graft.textops.TextAnalysis.normalizeForDedup
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Total: 123 items\n  shipped  2024-01-05"),
+      (2L, "total: 9 items shipped 1999-12-31"),   // same template, other numbers
+      (3L, "TOTAL:   456 ITEMS SHIPPED   2000-01-01"), // case + layout variant
+      (4L, "completely different content"))
+      .toDF("doc_id", "text")
+    val norm = df.select(col("doc_id"), normalizeForDedup(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) === "total: 0 items shipped 0-0-0")
+    assert(norm(1L) === norm(2L) && norm(2L) === norm(3L),
+      "template variants must normalize identically")
+    assert(norm(4L) !== norm(1L))
+  }
+
   test("ngram jaccard pairs: known overlap") {
     import spark.implicits._
     val df = Seq(
