@@ -109,6 +109,25 @@ object Dedup {
         min(pmod(col("h") * coefA(j) + coefB(j), lit(P))).as(s"m$j")): _*)
   }
 
+  /** Choose `(bands, rowsPerBand)` for a `k`-permutation signature so the
+    * banded-LSH S-curve's 50%-recall point `(1/bands)^(1/rowsPerBand)`
+    * lands nearest the target Jaccard threshold — the standard MMDS ch.3
+    * dial, solved over the divisors of k. More bands ⇒ catches lower
+    * similarities (more candidates); more rows per band ⇒ steeper cutoff.
+    * The driver-checked configuration (16×4 at threshold 0.6, curve
+    * point 0.5) sits deliberately BELOW the verify threshold so exact
+    * Jaccard filtering, not the probabilistic curve, decides membership.
+    */
+  def autoBands(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0 && threshold > 0.0 && threshold < 1.0,
+      s"autoBands: k=$k threshold=$threshold out of range")
+    (1 to k).filter(k % _ == 0)
+      .map(b => (b, k / b))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+      }
+  }
+
   /** LSH candidate pairs via banding: signature split into `bands` bands
     * of `rowsPerBand`, band value hashed to a bucket key; documents
     * sharing any band bucket become a candidate pair. The self-join runs

@@ -242,6 +242,16 @@ class DedupOpsSpec extends SparkSpec {
       kmeansIters = 3).count() > 0)
   }
 
+  test("autoBands solves the LSH S-curve over divisors of k") {
+    import graft.textops.Dedup.autoBands
+    assert(autoBands(64, 0.5) === ((16, 4)))  // (1/16)^(1/4) = 0.5 exactly
+    assert(autoBands(64, 0.7) === ((8, 8)))   // (1/8)^(1/8) ≈ 0.771, nearest
+    assert(autoBands(64, 0.2) === ((32, 2)))  // (1/32)^(1/2) ≈ 0.177
+    assert(autoBands(64, 0.95) === ((2, 32))) // flattest curve available
+    val (b, r) = autoBands(60, 0.6)
+    assert(b * r === 60)
+  }
+
   test("normalizeForDedup: case/number/layout variants collapse; distinct text survives") {
     import graft.textops.TextAnalysis.normalizeForDedup
     import spark.implicits._
