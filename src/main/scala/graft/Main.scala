@@ -65,7 +65,7 @@ object Main {
     case Some("lookup") => lookup(args.tail)
     case Some("changes") => changes(args.tail)
     case Some("vacuum") => vacuum(args.tail)
-    case Some("config-template") => configTemplate()
+    case Some("config-template") => configTemplate(args.tail)
     case _ =>
       System.err.println(
         "usage: graft start -f pipeline.yaml [--verify-oracle]\n" +
@@ -74,7 +74,8 @@ object Main {
         "       graft lookup --table DIR --key V1[,V2...]\n" +
         "       graft changes --table DIR --from V [--to V]\n" +
         "       graft vacuum --table DIR [--keep N]\n" +
-        "       graft config-template")
+        "       graft config-template [--source-type T --target-type T ...]\n" +
+        "           [--export-path F] (no flags: print the annotated skeleton)")
       sys.exit(2)
   }
 
@@ -93,7 +94,11 @@ object Main {
     val lake = graft.lake.LakeTable(spark, table)
     val to = flag(args, "--to").map(_.toLong)
       .orElse(lake.currentVersion).getOrElse(0L)
-    lake.changeFeed(from, to).toJSON.collect().foreach(println)
+    // stream partition-by-partition (toLocalIterator), never a whole-feed
+    // collect: a wide version range on a big table is unbounded output,
+    // and the CLI is a tail-consumer, not a materializer
+    lake.changeFeed(from, to).toJSON.toLocalIterator().forEachRemaining(
+      (l: String) => println(l))
     spark.stop()
   }
 
@@ -149,10 +154,93 @@ object Main {
     spark.stop()
   }
 
-  /** Emit a pipeline spec skeleton ≙ `draethos generate`
-    * (`cmd/scaffold/root.go:229-380`, flag-driven scaffold → YAML).
+  /** Emit a pipeline spec ≙ `draethos generate` (`cmd/scaffold/root.go:
+    * 229-380`): with flags, build the spec FROM them, validate it through
+    * the same parser `start` uses (fail-fast on unknown types, like the
+    * reference dispatchers), and print it — optionally writing to
+    * `--export-path` like the reference's default `pipeline.yaml` export.
+    * With no flags, print the annotated skeleton.
     */
-  private def configTemplate(): Unit = println(
+  private def configTemplate(args: Array[String]): Unit = {
+    val knows = Set(
+      "--export-path", "--name", "--port", "--checkpoint-dir",
+      "--source-type", "--source-path", "--source-format", "--source-codec",
+      "--source-trigger", "--source-endpoint", "--source-methods",
+      "--source-batch-size", "--max-files-per-trigger", "--max-bytes-per-trigger",
+      "--target-type", "--target-path", "--target-table", "--target-url",
+      "--target-mode", "--key-columns", "--num-buckets", "--target-codec",
+      "--target-prefix", "--window", "--watermark", "--dlq-path")
+    args.filter(_.startsWith("--")).find(!knows(_)).foreach { f =>
+      System.err.println(s"config-template: unknown flag $f"); sys.exit(2)
+    }
+    if (args.isEmpty) { printSkeleton(); return }
+    def opt(n: String) = flag(args, n)
+    def line(indent: Int, k: String, v: Option[String]): Seq[String] =
+      v.filter(_.nonEmpty).map(x => " " * indent + s"$k: $x").toSeq
+    val srcType = opt("--source-type").getOrElse("changelog")
+    val tgtType = opt("--target-type").getOrElse("lake")
+    val yaml = (Seq(
+      "stream:",
+      s"  name: ${opt("--name").getOrElse("my-pipeline")}") ++
+      line(2, "checkpointDir", opt("--checkpoint-dir")) ++
+      line(2, "port", opt("--port")) ++ Seq(
+      "  instance:",
+      "    source:",
+      s"      type: $srcType",
+      "      specs:") ++
+      line(8, "path", opt("--source-path")) ++
+      line(8, "format", opt("--source-format")) ++
+      line(8, "codec", opt("--source-codec")) ++
+      line(8, "trigger", opt("--source-trigger")) ++
+      line(8, "endpoint", opt("--source-endpoint")) ++
+      line(8, "methods", opt("--source-methods")
+        .map(_.split(",", -1).mkString("[", ", ", "]"))) ++
+      line(8, "batchSize", opt("--source-batch-size")) ++
+      line(8, "maxFilesPerTrigger", opt("--max-files-per-trigger")) ++
+      line(8, "maxBytesPerTrigger", opt("--max-bytes-per-trigger")) ++ Seq(
+      "    target:",
+      s"      type: $tgtType",
+      "      specs:") ++
+      line(8, "path", opt("--target-path")) ++
+      line(8, "table", opt("--target-table")) ++
+      line(8, "url", opt("--target-url")) ++
+      line(8, "mode", opt("--target-mode")) ++
+      line(8, "keyColumns", opt("--key-columns")
+        .map(_.split(",", -1).mkString("[", ", ", "]"))) ++
+      line(8, "numBuckets", opt("--num-buckets")) ++
+      line(8, "codec", opt("--target-codec")) ++
+      line(8, "prefix", opt("--target-prefix")
+        .map(p => "\"" + p + "\"")) ++
+      line(8, "window", opt("--window")) ++
+      line(8, "watermark", opt("--watermark")) ++
+      opt("--dlq-path").filter(_.nonEmpty).map(p => Seq(
+        "    dlq:",
+        "      type: files",
+        "      specs:",
+        s"        path: $p")).getOrElse(Nil))
+      .mkString("", "\n", "\n")
+    // a spec `graft start` would reject must never be emitted — round-trip
+    // through the real parser (unknown type/codec/trigger fails here, with
+    // the same message the reference dispatcher prints)
+    PipelineSpec.fromYaml(yaml)
+    opt("--export-path").filter(_.nonEmpty) match {
+      case Some(p) =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
+        println(s"[graft] generated scaffold\npath: $p\n-------\n$yaml-------")
+      case None => print(yaml)
+    }
+  }
+
+  private[graft] def generatedTemplateYaml(args: Array[String]): String = {
+    // test seam: capture what configTemplate writes for the given flags
+    val tmp = java.nio.file.Files.createTempFile("graft-template", ".yaml")
+    try {
+      configTemplate(args ++ Array("--export-path", tmp.toString))
+      java.nio.file.Files.readString(tmp)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  private def printSkeleton(): Unit = println(
     """stream:
       |  name: my-pipeline
       |  checkpointDir: /data/ckpt
@@ -269,10 +357,20 @@ object Main {
     val secs = (System.nanoTime() - t0) / 1e9
     // a run in which no window crossed the watermark leaves only
     // _spark_metadata in the sink — schema inference fails on the read;
-    // that is a successful run with 0 finalized rows, not an error
+    // that is a successful run with 0 finalized rows, not an error. Any
+    // OTHER AnalysisException (mistyped path, corrupt sink) must fail
+    // loudly, so the empty-sink mapping applies only when the sink dir
+    // holds nothing but stream metadata.
     val finalized =
       try spark.read.parquet(tgt.path).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          val children = Option(new java.io.File(tgt.path).list())
+            .map(_.toSeq).getOrElse(Nil)
+          val onlyMetadata = children.nonEmpty &&
+            children.forall(n => n == "_spark_metadata" || n.startsWith("_checkpoint"))
+          if (onlyMetadata) 0L else throw e
+      }
     println(f"[graft] rollup done in $secs%.1f s: $finalized finalized " +
       s"(window=${tgt.window}, watermark=${tgt.watermark}) rows in ${tgt.path}")
   }

@@ -37,7 +37,11 @@ final case class Snapshot(
     // the creation-time user columns; columns in schemaDdl beyond these
     // (and the meta columns) are DRIFT columns whose values ride in the
     // delta files' `extra` map and are lifted at read time
-    baseCols: Seq[String] = Nil)
+    baseCols: Seq[String] = Nil,
+    // on-disk format version. 2 = manifest-chain snapshots (r4+); 1 was
+    // the inline-`files` shape. Readers reject versions they don't know
+    // with a clear error instead of an opaque json4s MappingException.
+    formatVersion: Int = LakeTable.CurrentFormatVersion)
 
 /** One data file reference inside a manifest: owning bucket, table-
   * relative path, and size in bytes (sizes feed the compaction budget's
@@ -389,15 +393,34 @@ class LakeTable(
     * materialized the column (compaction output) wins via coalesce; a
     * delta file serves it straight from the map. Pure codegen'd
     * projection — no shuffle, no extra pass.
+    *
+    * A drift column that major compaction has TYPE-SNIFFED (see
+    * [[compact]]) is DATE/TIMESTAMP in the snapshot schema while the map
+    * still stores strings — the lift converts with the exact ladder the
+    * sniff used (`to_date` / `'T'`→`' '` `to_timestamp`,
+    * `Sources.sniffTypes`). `try_*` variants: a post-retype event whose
+    * value no longer parses reads as NULL instead of failing the scan —
+    * the Spark-side analog of the reference sink's per-value DDL ladder
+    * feeding an already-typed column (`pgsql.go:326-363`).
     */
   private def liftDrift(s: Snapshot, df: DataFrame): DataFrame = {
+    val sch = StructType.fromDDL(s.schemaDdl)
     val drift = driftCols(s)
     val hasCarrier = df.columns.contains(ExtraMeta) &&
-      !StructType.fromDDL(s.schemaDdl).fieldNames.contains(ExtraMeta)
+      !sch.fieldNames.contains(ExtraMeta)
+    def fromExtra(c: String): Column = {
+      val raw = element_at(col(ExtraMeta), c)
+      sch(c).dataType match {
+        case StringType => raw
+        case DateType => try_to_date(raw)
+        case TimestampType => try_to_timestamp(regexp_replace(raw, "T", " "))
+        case other => raw.try_cast(other)
+      }
+    }
     val lifted =
       if (drift.isEmpty || !hasCarrier) df
       else drift.foldLeft(df) { (d, c) =>
-        d.withColumn(c, coalesce(col(c), element_at(col(ExtraMeta), c)))
+        d.withColumn(c, coalesce(col(c), fromExtra(c)))
       }
     if (hasCarrier) lifted.drop(ExtraMeta) else lifted
   }
@@ -815,9 +838,13 @@ class LakeTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(sch.fields :+ StructField("__version", LongType, nullable = false)))
     else
+      // greedy `.*/` prefix anchors the version capture to the LAST
+      // `/data/vN/delta/` path component — a table rooted under a
+      // directory that itself matches the pattern (e.g.
+      // `/x/data/v2/delta/mytable`) must not mislabel every row's version
       liftDrift(cur, readFiles(extendedSchema(cur, sch), rel)
         .withColumn("__version",
-          regexp_extract(col("_metadata.file_path"), "/data/v(\\d+)/delta/", 1)
+          regexp_extract(col("_metadata.file_path"), ".*/data/v(\\d+)/delta/", 1)
             .cast(LongType)))
   }
 
@@ -922,6 +949,23 @@ class LakeTable(
     * no replayer can deliver events with lsn below the per-bucket lineage
     * watermark). Same snapshot mechanics. After compaction every bucket
     * holds one resolved file, so reads skip the winner window entirely.
+    *
+    * **Typed drift materialization** ≙ the reference sink's DDL ladder
+    * (`pgsql.go:170-229,326-363`): a still-string drift column whose
+    * non-null values ALL parse as dates (resp. ISO datetimes) is
+    * materialized as DATE (resp. TIMESTAMP) and the snapshot schema
+    * retyped — decided per column over the whole table, not per record
+    * (per-record DDL flapping is a reference bug we don't keep). Rows
+    * from files that predate the drift column read back as typed NULLs.
+    * Retyping happens ONLY here: major compaction rewrites EVERY live
+    * file, so no surviving file can physically disagree with the new
+    * schema. Minor compaction (inside [[merge]]) must keep drift columns
+    * as strings — it rewrites only a bucket tail, and retyping the
+    * snapshot would contradict the untouched files' physical string
+    * columns. Old delta files read under the retyped schema surface the
+    * column as a typed NULL plus the `extra`-map lift (see [[liftDrift]]),
+    * which converts with the same ladder — so the change feed and time
+    * travel stay consistent.
     */
   def compact(dropTombstones: Boolean = false): Snapshot = {
     val cur = currentSnapshot.getOrElse(
@@ -930,22 +974,35 @@ class LakeTable(
     val dataRel = s"data/v$newVersion"
     val base = if (dropTombstones) readMeta().filter(!col(DeletedMeta))
       else readMeta()
-    base.withColumn("__bucket", bucketExpr)
+    val sniffable = driftCols(cur).filter(c =>
+      StructType.fromDDL(cur.schemaDdl)(c).dataType == StringType)
+    val typed =
+      if (sniffable.isEmpty) base
+      else graft.sources.Sources.sniffTypes(base, Some(sniffable))
+    typed.withColumn("__bucket", bucketExpr)
       .repartition(numBuckets, col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tablePath/$dataRel")
     val newBucketFiles = enumerateBucketEntries(dataRel)
+    // snapshot schema follows the sniffed types (order unchanged)
+    val newDdl = StructType(StructType.fromDDL(cur.schemaDdl).fields.map { f =>
+      typed.schema.find(_.name == f.name)
+        .map(t => f.copy(dataType = t.dataType)).getOrElse(f)
+    }).toDDL
     // major compaction naturally resets the manifest chain to one base
     val manifest = writeManifest(Manifest(newVersion, base = true,
       added = newBucketFiles.values.flatten.toSeq, removed = Nil))
-    val next = cur.copy(version = newVersion, manifests = Seq(manifest),
-      parentVersion = cur.version)
+    val next = cur.copy(version = newVersion, schemaDdl = newDdl,
+      manifests = Seq(manifest), parentVersion = cur.version)
     commitSnapshot(next)
     next
   }
 }
 
 object LakeTable {
+
+  /** On-disk snapshot format this code writes (and the max it reads). */
+  val CurrentFormatVersion = 2
 
   /** JSON (de)serialization of snapshots + manifests via json4s (ships
     * with Spark).
@@ -955,7 +1012,25 @@ object LakeTable {
     import org.json4s.jackson.Serialization
     implicit val formats: Formats = Serialization.formats(NoTypeHints)
     def toJson(s: Snapshot): String = Serialization.writePretty(s)
-    def fromJson(j: String): Snapshot = Serialization.read[Snapshot](j)
+    def fromJson(j: String): Snapshot = {
+      val s =
+        try Serialization.read[Snapshot](j)
+        catch {
+          case e: MappingException =>
+            // a pre-manifest (formatVersion 1) snapshot inlines `files`
+            // and lacks `manifests` — name the incompatibility instead of
+            // surfacing json4s's opaque mapping error
+            throw new IllegalStateException(
+              "unreadable lake snapshot: likely written by an older graft " +
+                s"format (pre-manifest formatVersion 1 inlined `files`); " +
+                s"this reader supports formatVersion ${CurrentFormatVersion}. " +
+                s"Underlying: ${e.getMessage}")
+        }
+      require(s.formatVersion <= CurrentFormatVersion,
+        s"lake snapshot formatVersion ${s.formatVersion} is newer than this " +
+          s"reader (supports <= ${CurrentFormatVersion}); upgrade graft")
+      s
+    }
     def manifestToJson(m: Manifest): String = Serialization.writePretty(m)
     def manifestFromJson(j: String): Manifest = Serialization.read[Manifest](j)
   }

@@ -191,58 +191,75 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("__centroid"))
 
+  /** Per-component quantization scale for the k-means centroid update:
+    * each component is folded into the sum as the exact i64
+    * `floor(x · 2^20)`. Integer sums are ORDER-INSENSITIVE, so the
+    * centroids are bit-deterministic across runs, partitionings, and
+    * cluster sizes (a distributed double `avg` is only deterministic up
+    * to partial-aggregate merge order) — and exactly reproducible in
+    * ANSI SQL, which is what lets the `ivf_kmeans_recall` driver query
+    * oracle-check the whole quantizer. The ≤2^-20 per-component
+    * quantization error is noise for a coarse quantizer (cells, not
+    * distances, are the output).
+    */
+  private val KmeansQuantScale = 1048576L // 2^20
+
   /** Deterministic Lloyd's k-means refinement of the IVF coarse
     * quantizer: start from the `nCells` lowest-id vectors (the same
     * deterministic seed [[ivfCentroids]] uses) and run `iters` rounds of
-    * assign → per-cell mean. No RNG anywhere, so the index is
-    * reproducible run-to-run and cluster-size-independent.
+    * assign → per-cell quantized mean. No RNG and no order-sensitive
+    * float reduction anywhere, so the index is bit-reproducible
+    * run-to-run AND cluster-size-independent.
     *
-    * Scale shape per round: assignment is the inlined-centroid
-    * expression ([[ivfAssign]] — a codegen'd map over the scan, zero
-    * shuffle), and the update is ONE map-side-combined aggregation
-    * (posexplode dims → groupBy(cell, dim) avg → rebuild arrays on the
-    * driver, ≤ nCells × dim values). Empty cells keep their previous
-    * centroid. Returns (cid, __centroid double array), drop-in for
-    * [[ivfTopK]]'s centroid frame.
+    * Scale shape per round: assignment is the shuffle-free [[ivfAssign]]
+    * expression (inline literals at small cell counts, broadcast index
+    * at large — a codegen'd map over the scan either way), and the
+    * update is ONE map-side-combined aggregation job — posexplode dims →
+    * groupBy(cell, dim) → exact i64 sums — whose ≤ nCells × dim result
+    * rows land on the driver once; centroid state lives in a driver
+    * array between rounds (no per-round DataFrame rebuild). Empty cells
+    * keep their previous centroid. Returns (cid, __centroid double
+    * array), drop-in for [[ivfTopK]]'s centroid frame.
     */
   def ivfCentroidsKmeans(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    var cents: DataFrame = ivfCentroids(corpus, idCol, vecCol, nCells)
-      .select(col("cid").cast("long").as("cid"),
-        transform(col("__centroid"), x => x.cast("double")).as("__centroid"))
+    var cents: Array[(Long, Array[Double])] =
+      collectCentroids(ivfCentroids(corpus, idCol, vecCol, nCells)
+        .select(col("cid").cast("long").as("cid"), col("__centroid")))
+        .sortBy(_._1)
+    val vecs = corpus.select(col(vecCol).as("__v"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignToCentroids(vecs, cents, "__v", LongType)
+      val sums = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(sum(floor(col("x").cast("double") * KmeansQuantScale.toDouble))
+            .as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell: Map[Long, Array[Double]] = sums
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          // component = (Σ floor(x·2^20)) / (n·2^20): exact i64 numerator
+          // and denominator, ONE IEEE division — identical on any engine
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * KmeansQuantScale).toDouble)
+        }
+      cents = cents.map { case (cid, old) =>
+        cid -> byCell.getOrElse(cid, old) // empty cell: keep
+      }
+    }
     val centSchema = StructType(Seq(
       StructField("cid", LongType, nullable = false),
       StructField("__centroid", ArrayType(DoubleType, containsNull = false),
         nullable = false)))
-    (0 until iters).foreach { _ =>
-      val assigned = ivfAssign(
-        corpus.select(col(idCol).as("__rid"), col(vecCol).as("__v")),
-        cents, "__rid", "__v")
-      val means = assigned
-        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
-        .groupBy("cid", "d")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val byCell: Map[Long, Array[Double]] = means
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          val arr = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-          cid -> arr
-        }
-      val updated = cents.collect().map { r =>
-        val cid = r.getLong(0)
-        byCell.get(cid) match {
-          case Some(m) => Row(cid, m.toSeq)
-          case None => Row(cid, r.getSeq[Double](1)) // empty cell: keep
-        }
-      }
-      cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(updated.toIndexedSeq, 1), centSchema)
-    }
-    cents
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.map { case (cid, v) => Row(cid, v.toSeq) }.toIndexedSeq, 1),
+      centSchema)
   }
 
   /** Rank each row's centroids by cosine (1 = nearest); ties by cid.
@@ -260,38 +277,77 @@ object Similarity {
       .drop("__centroid")
   }
 
+  /** Above this many centroids the inline-literal assignment plan is the
+    * wrong shape: it embeds `nCells × dim` double literals in one
+    * projection, and at `autoCells`' 65,536-cell clamp with 768-dim
+    * vectors that is ~50M literals — plan serialization and codegen blow
+    * up long before any data cost matters. Past the threshold the argmax
+    * runs against a broadcast centroid index instead
+    * ([[graft.functions.NearestCentroid]]); both paths compute
+    * bit-identical assignments (equivalence-tested across the boundary,
+    * IvfAssignSpec).
+    */
+  private[graft] val InlineCentroidMax = 256
+
   /** Assign each corpus vector to its single nearest cell — as a PURE
-    * EXPRESSION, zero shuffle: the ≤`nCells` centroids are collected to
-    * the driver and inlined as struct literals, and the nearest-cell
-    * argmax is one `aggregate` fold per row (ties by lowest cid, the same
-    * order `rankCells` uses). The previous shape joined corpus×nCells
-    * rows and ran `row_number() over (partition by row id)` — a full
-    * shuffle of nCells× the corpus just to take an argmax, which at
-    * 100 TB is the whole job; assignment is now a codegen-friendly map
-    * over the scan like every other per-row operator here.
+    * EXPRESSION, zero shuffle: a codegen'd map over the scan (ties by
+    * lowest cid, the same order `rankCells` uses). At ≤
+    * [[InlineCentroidMax]] cells the centroids are inlined as struct
+    * literals (whole plan constant-folded into the projection, ANSI-SQL
+    * reproducible — the oracle-checked shape); above, they ride a Spark
+    * broadcast and the argmax is the [[graft.functions.NearestCentroid]]
+    * kernel. The pre-r3 shape joined corpus×nCells rows and ran
+    * `row_number() over (partition by row id)` — a full shuffle of
+    * nCells× the corpus just to take an argmax, which at 100 TB is the
+    * whole job.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val cents = centroids.select(col("cid"), col("__centroid")).collect()
+    val frame = centroids.select(col("cid"), col("__centroid"))
+    val cidType = frame.schema("cid").dataType
+    assignToCentroids(corpus, collectCentroids(frame), vecCol, cidType)
+  }
+
+  /** Centroid frame → driver array (cid widened to long; components —
+    * float seeds or double means — widened exactly to double).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.select(col("cid"), col("__centroid")).collect().map { r =>
+      val cv = r.getSeq[Any](1)
+        .map(x => x.asInstanceOf[Number].doubleValue()).toArray
+      (r.get(0).asInstanceOf[Number].longValue(), cv)
+    }
+
+  /** Dispatch on centroid count — see [[InlineCentroidMax]]. */
+  private def assignToCentroids(corpus: DataFrame,
+      cents: Array[(Long, Array[Double])], vecCol: String,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame = {
     require(cents.nonEmpty, "ivfAssign: empty centroid set")
-    // centroid norms on the driver, with the exact fold the `norm`
-    // expression performs (cast-to-double, left-to-right sum, sqrt) —
-    // bit-identical to computing norm(centroid) per row, 1/3 the
-    // interpreted-HOF work; the row's own norm is computed once in a
-    // helper column instead of once per centroid.
-    // Centroids may be float arrays (raw corpus seeds) or double arrays
-    // (k-means means); float→double widening is exact, so inlining every
-    // centroid as a double literal leaves the float-seed arithmetic
-    // bit-identical.
-    def driverNorm(v: Seq[Double]): Double =
-      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
-    val scored: Seq[Column] = cents.toSeq.map { r =>
-      val cv: Seq[Double] = r.getSeq[Any](1)
-        .map(x => x.asInstanceOf[Number].doubleValue())
+    if (cents.length <= InlineCentroidMax)
+      ivfAssignInline(corpus, cents, vecCol, cidType)
+    else
+      ivfAssignBroadcast(corpus, cents, vecCol, cidType)
+  }
+
+  /** The exact left-to-right fold the `norm` expression performs
+    * (cast-to-double, sum, sqrt) — bit-identical to computing
+    * norm(centroid) per row, hoisted to the driver.
+    */
+  private def driverNorm(v: Array[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  /** Inline-literal assignment: centroids as struct literals, argmax as
+    * one `aggregate` fold per row. The row's own norm is computed once in
+    * a helper column instead of once per centroid.
+    */
+  private[graft] def ivfAssignInline(corpus: DataFrame,
+      cents: Array[(Long, Array[Double])], vecCol: String,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val scored: Seq[Column] = cents.toSeq.map { case (cid, cv) =>
       struct(
-        (dot(col(vecCol), typedLit(cv)) /
+        (dot(col(vecCol), typedLit(cv.toSeq)) /
           (col("__nv") * lit(driverNorm(cv)))).as("cos"),
-        lit(r.get(0)).as("cid"))
+        lit(cid).cast(cidType).as("cid"))
     }
     // fold via `aggregate` (lambda vars bind each element once — a
     // when-chain reduce would re-evaluate every cosine per comparison);
@@ -299,7 +355,8 @@ object Similarity {
     // window's cos-desc order for degenerate zero-norm vectors
     val best = aggregate(
       array(scored: _*),
-      struct(lit(Double.NegativeInfinity).as("cos"), lit(cents.head.get(0)).as("cid")),
+      struct(lit(Double.NegativeInfinity).as("cos"),
+        lit(cents.head._1).cast(cidType).as("cid")),
       (acc, s) => when(
         s.getField("cos") > acc.getField("cos") ||
           (s.getField("cos") === acc.getField("cos") &&
@@ -308,6 +365,20 @@ object Similarity {
     corpus.withColumn("__nv", norm(col(vecCol)))
       .withColumn("cid", best.getField("cid"))
       .drop("__nv")
+  }
+
+  /** Broadcast-index assignment: one expression node holding a broadcast
+    * handle; the per-row argmax is a tight JVM loop inside codegen. Same
+    * arithmetic as the inline fold (see [[graft.functions.NearestCentroid]]).
+    */
+  private[graft] def ivfAssignBroadcast(corpus: DataFrame,
+      cents: Array[(Long, Array[Double])], vecCol: String,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext
+      .broadcast(graft.functions.NearestCentroid.buildIndex(cents))
+    corpus.withColumn("cid",
+      graft.functions.NearestCentroid.nearestCentroid(col(vecCol), bc)
+        .cast(cidType))
   }
 
   /** ANN via IVF: exact cosine top-k among the corpus rows of the
@@ -348,11 +419,18 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-bucket
     * self-join, cosine ≥ threshold. The near-dup analog of MinHash for
     * dense vectors.
+    *
+    * `nPlanes ≤ 0` derives the plane count from the corpus size via
+    * [[autoPlanes]] (same dial as `lshTopK`/`ivfTopK`): a fixed plane
+    * count means bucket occupancy — and therefore self-join cost — grows
+    * linearly with the corpus; the auto dial keeps expected occupancy
+    * constant at any scale.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 10): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .withColumn("bucket", lshSignature(col("__v"), nPlanes))
+      .withColumn("bucket", lshSignature(col("__v"), planes))
     val l = c.toDF("id_a", "va", "bucket")
     val r = c.toDF("id_b", "vb", "bucket")
     l.join(r, Seq("bucket"))

@@ -107,9 +107,16 @@ object Sources {
     * per record (per-record DDL flapping is a reference bug we don't keep).
     * One aggregation pass; cheap at any scale.
     */
-  def sniffTypes(df: DataFrame): DataFrame = {
+  def sniffTypes(df: DataFrame): DataFrame = sniffTypes(df, None)
+
+  /** As [[sniffTypes]], but restricted to `onlyCols` when given — the lake
+    * uses this to type-sniff DRIFT columns at major compaction without
+    * touching deliberately-string base columns.
+    */
+  def sniffTypes(df: DataFrame, onlyCols: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      .filter(c => onlyCols.forall(_.contains(c)))
     if (strCols.isEmpty) return df
     // per column: `__d/__t` = every NON-NULL value matches (nulls vacuously
     // pass — they render as SQL NULL, carrying no type evidence);

@@ -242,6 +242,46 @@ class DedupOpsSpec extends SparkSpec {
       kmeansIters = 3).count() > 0)
   }
 
+  test("k-means refinement costs ONE aggregation action per Lloyd round " +
+      "(centroid state lives in a driver array, no per-round frame rebuild)") {
+    import graft.simops.Similarity
+    import spark.implicits._
+    val dir = tmpDir("kmeans-jobs")
+    (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    vecs.count() // file listing/footer work settles outside the counted window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async: settle = count unchanged for 300 ms
+    def settle(): Int = {
+      var last = -1; var cur = jobs.get(); var spins = 0
+      while (cur != last && spins < 20) {
+        last = cur; Thread.sleep(300); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    try {
+      settle(); jobs.set(0)
+      // AQE materializes query stages as separate jobs — disable so one
+      // action = one job and the count measures DATA PASSES
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Similarity.ivfCentroidsKmeans(vecs, "vec_id", "embedding", 8, iters = 2)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val n = settle()
+      // 1 seed collect + 1 sum-aggregation per round; the returned
+      // centroid frame itself is lazy
+      assert(n === 3, s"k-means(iters=2) must cost 3 actions (seed + 2 rounds), saw $n")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("autoBands solves the LSH S-curve over divisors of k") {
     import graft.textops.Dedup.autoBands
     assert(autoBands(64, 0.5) === ((16, 4)))  // (1/16)^(1/4) = 0.5 exactly

@@ -429,4 +429,50 @@ class LakeTableMorSpec extends SparkSpec {
       assert(n === 1, s"merge commit must be exactly one Spark action, saw $n")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("major compaction type-sniffs drift columns: all-date drift lands " +
+      "DateType, mixed stays string, pre-drift rows read typed NULL, " +
+      "and the change feed stays consistent under the retyped schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    val dir = tmpDir("mor-driftsniff")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    // batch 0: pre-drift file (no extra keys)
+    lake.merge(Seq(ev(1, "insert", 1)).toDS().toDF(), "t", 0L)
+    // batch 1: three drift columns — all-dates, all-datetimes, and mixed
+    lake.merge(Seq(
+      ev(2, "insert", 2).copy(extra = Map(
+        "seen" -> "2024-01-02", "mod" -> "2024-01-02T10:30:00", "note" -> "hello")),
+      ev(3, "insert", 4).copy(extra = Map(
+        "seen" -> "2023-12-31", "mod" -> "2023-12-31 23:59:59", "note" -> "2024-01-01")))
+      .toDS().toDF(), "t", 1L)
+    // pre-compact: drift columns surface as auto-ALTERed strings
+    assert(lake.schema("seen").dataType === StringType)
+    lake.compact()
+    // post-compact: the DDL ladder (pgsql.go:326-363) typed the uniform
+    // columns; the mixed column keeps varchar semantics
+    assert(lake.schema("seen").dataType === DateType)
+    assert(lake.schema("mod").dataType === TimestampType)
+    assert(lake.schema("note").dataType === StringType)
+    val rows = lake.read().select("path", "seen", "mod").collect()
+      .map(r => r.getString(0) -> (Option(r.getDate(1)), Option(r.getTimestamp(2))))
+      .toMap
+    assert(rows("p1") === ((None, None))) // pre-drift row: typed NULLs
+    assert(rows("p2")._1 === Some(java.sql.Date.valueOf("2024-01-02")))
+    assert(rows("p4")._2 ===
+      Some(java.sql.Timestamp.valueOf("2023-12-31 23:59:59")))
+    // change feed over PRE-compact versions under the retyped current
+    // schema: old delta files carry the values only in the extra map, and
+    // the lift converts with the same ladder
+    val feed = lake.changeFeed(0L, lake.currentVersion.get)
+    assert(feed.schema("seen").dataType === DateType)
+    val feedSeen = feed.filter(col("path") === "p2").select("seen").collect()
+    assert(feedSeen.map(_.getDate(0)).toSeq ===
+      Seq(java.sql.Date.valueOf("2024-01-02")))
+    // a second compact is a no-op for types (nothing sniffable remains)
+    lake.compact()
+    assert(lake.schema("seen").dataType === DateType)
+  }
 }

@@ -176,4 +176,49 @@ class SpecAndConnectorsSpec extends SparkSpec {
     assert(ok.head().repo === "r")
     assert(dlq.count() === 2L)
   }
+
+  test("flag-driven config-template generates a spec that fromYaml round-trips " +
+      "for every source x target combination (draethos generate analog)") {
+    // jdbc targets need url+table to validate; rollup needs a path
+    def targetFlags(t: String): Array[String] = t match {
+      case "jdbc" => Array("--target-type", "jdbc",
+        "--target-url", "jdbc:derby:/tmp/db;create=true",
+        "--target-table", "repos", "--target-mode", "insertIfAbsent")
+      case other => Array("--target-type", other, "--target-path", s"/data/$other")
+    }
+    for {
+      src <- PipelineSpec.SourceTypes
+      tgt <- PipelineSpec.TargetTypes
+      // rollup requires a parquet changelog source (runRollup's contract)
+      if !(tgt == "rollup" && src != "changelog")
+    } {
+      val flags = Array("--name", s"gen-$src-$tgt",
+        "--source-type", src, "--source-path", "/data/in",
+        "--key-columns", "repo,path", "--num-buckets", "16",
+        "--dlq-path", "/data/dlq") ++
+        (if (src == "jsonl" || tgt == "rollup") Array[String]()
+         else Array("--source-format", "jsonl", "--source-codec", "yaml")) ++
+        targetFlags(tgt)
+      val yaml = Main.generatedTemplateYaml(flags)
+      val spec = PipelineSpec.fromYaml(yaml)
+      assert(spec.name === s"gen-$src-$tgt")
+      assert(spec.instance.source.tpe === src)
+      assert(spec.instance.target.tpe === tgt)
+      assert(spec.instance.dlq.map(_.path) === Some("/data/dlq"))
+      if (tgt == "jdbc") {
+        assert(spec.instance.target.mode === "insertIfAbsent")
+        assert(spec.instance.target.table === "repos")
+      } else assert(spec.instance.target.path === s"/data/$tgt")
+      assert(spec.instance.target.keyColumns === Seq("repo", "path"))
+      assert(spec.instance.target.numBuckets === 16)
+    }
+    // an unknown type must fail the round-trip INSIDE generation, with the
+    // dispatcher's message — never emit a spec `start` would reject
+    val e = intercept[IllegalArgumentException] {
+      Main.generatedTemplateYaml(Array(
+        "--source-type", "kafka", "--target-type", "lake",
+        "--target-path", "/data/lake"))
+    }
+    assert(e.getMessage.contains("not implemented"))
+  }
 }
