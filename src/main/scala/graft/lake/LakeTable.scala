@@ -1013,23 +1013,34 @@ object LakeTable {
     implicit val formats: Formats = Serialization.formats(NoTypeHints)
     def toJson(s: Snapshot): String = Serialization.writePretty(s)
     def fromJson(j: String): Snapshot = {
-      val s =
-        try Serialization.read[Snapshot](j)
-        catch {
-          case e: MappingException =>
-            // a pre-manifest (formatVersion 1) snapshot inlines `files`
-            // and lacks `manifests` — name the incompatibility instead of
-            // surfacing json4s's opaque mapping error
-            throw new IllegalStateException(
-              "unreadable lake snapshot: likely written by an older graft " +
-                s"format (pre-manifest formatVersion 1 inlined `files`); " +
-                s"this reader supports formatVersion ${CurrentFormatVersion}. " +
-                s"Underlying: ${e.getMessage}")
-        }
-      require(s.formatVersion <= CurrentFormatVersion,
-        s"lake snapshot formatVersion ${s.formatVersion} is newer than this " +
+      // Decide compatibility from the RAW json, not the extracted case
+      // class: json4s fills a missing `formatVersion` from the case-class
+      // default (CurrentFormatVersion) and a missing `manifests` with Nil,
+      // so a legacy snapshot would otherwise "parse" as an empty current
+      // table — silent data loss instead of an error.
+      val ast = org.json4s.jackson.JsonMethods.parse(j)
+      val fv = ast \ "formatVersion" match {
+        case JInt(v) => v.toInt
+        // pre-formatVersion snapshots (the inline-`files` shape) carry no
+        // marker at all — that IS format 1
+        case _ => 1
+      }
+      if (fv < CurrentFormatVersion)
+        throw new IllegalStateException(
+          s"unreadable lake snapshot: written as formatVersion $fv (the " +
+            "pre-manifest format inlined `files` and carried no " +
+            s"formatVersion field); this reader supports formatVersion " +
+            s"${CurrentFormatVersion}")
+      require(fv <= CurrentFormatVersion,
+        s"lake snapshot formatVersion $fv is newer than this " +
           s"reader (supports <= ${CurrentFormatVersion}); upgrade graft")
-      s
+      try ast.extract[Snapshot]
+      catch {
+        case e: MappingException =>
+          throw new IllegalStateException(
+            s"unreadable lake snapshot (formatVersion $fv matches this " +
+              s"reader but a field failed to map): ${e.getMessage}")
+      }
     }
     def manifestToJson(m: Manifest): String = Serialization.writePretty(m)
     def manifestFromJson(j: String): Manifest = Serialization.read[Manifest](j)

@@ -430,6 +430,29 @@ class LakeTableMorSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("snapshot codec names format incompatibilities instead of opaque mapping errors") {
+    import graft.lake.LakeTable.SnapshotCodec
+    // a pre-manifest (formatVersion 1) snapshot inlined `files` and had no
+    // `manifests` field — the reader must explain that, not leak json4s
+    val legacy =
+      """{"version":3,"schemaDdl":"repo STRING","numBuckets":2,
+        |"keyCols":["repo"],"files":{"0":["data/v1/f.parquet"]},
+        |"appliedUpTo":{},"lineage":{},"parentVersion":2}""".stripMargin
+    val e = intercept[IllegalStateException](SnapshotCodec.fromJson(legacy))
+    assert(e.getMessage.contains("formatVersion"))
+    // a FUTURE format is rejected with an upgrade hint, not misread
+    val future = SnapshotCodec.toJson(
+      graft.lake.Snapshot(1L, "repo STRING", 2, Seq("repo"), Nil,
+        Map.empty, Map.empty, 0L, Seq("repo"), formatVersion = 99))
+    val e2 = intercept[IllegalArgumentException](SnapshotCodec.fromJson(future))
+    assert(e2.getMessage.contains("newer than this reader"))
+    // round-trip of the current format is exact
+    val s = graft.lake.Snapshot(7L, "repo STRING, path STRING", 4,
+      Seq("repo", "path"), Seq("_manifests/m-7-abc.json"),
+      Map("ck" -> 3L), Map("0" -> 42L), 6L, Seq("repo", "path"))
+    assert(SnapshotCodec.fromJson(SnapshotCodec.toJson(s)) === s)
+  }
+
   test("major compaction type-sniffs drift columns: all-date drift lands " +
       "DateType, mixed stays string, pre-drift rows read typed NULL, " +
       "and the change feed stays consistent under the retyped schema") {
