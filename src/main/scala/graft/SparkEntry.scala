@@ -401,6 +401,69 @@ object SparkEntry {
     } finally rmTree(new java.io.File(tmp))
   }
 
+  /** Time travel as an oracle-checked row: the same three-merge fixture
+    * as `lake_change_feed`, read back AS OF version 2 (after the second
+    * merge, i.e. batches `event_id % 3 ∈ {0,1}`). The oracle recomputes
+    * that historical winner set from first principles — green iff the
+    * versioned snapshot + manifest-chain fold reconstructs exactly the
+    * files live at v2 and the MOR resolve over them matches the
+    * declarative latest-lsn-wins / tombstone-drop semantics.
+    */
+  private def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-tt").toString
+    try {
+      val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
+      lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, last_op STRING, last_value DOUBLE"))
+      (0 until 3).foreach { b =>
+        lake.merge(ev.filter(pmod(col("event_id"), lit(3)) === b).select(
+          col("user_id"),
+          col("event_type").as("last_op"),
+          col("value").as("last_value"),
+          col("event_id").as("lsn"),
+          when(col("event_type") === "purchase", "delete")
+            .otherwise("upsert").as("op")), "tt-q", b.toLong)
+      }
+      localized(spark, lake.readVersion(2L)
+        .select("user_id", "last_op", "last_value"))
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  /** Major compaction + snapshot expiry as an oracle-checked row: three
+    * merge commits, `compact(dropTombstones = true)` (rewrites every
+    * live file, drops tombstones), then `expireSnapshots(keepLast = 1)`
+    * (vacuums every pre-compaction file) before reading the final state.
+    * The oracle recomputes the final winner set from the raw events —
+    * green iff compaction preserves exactly the MOR-resolved state AND
+    * the vacuum deleted only dead files (a live-file delete would surface
+    * as missing rows or a read error).
+    */
+  private def lakeCompactedState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-compact").toString
+    try {
+      val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
+      lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, last_op STRING, last_value DOUBLE"))
+      (0 until 3).foreach { b =>
+        lake.merge(ev.filter(pmod(col("event_id"), lit(3)) === b).select(
+          col("user_id"),
+          col("event_type").as("last_op"),
+          col("value").as("last_value"),
+          col("event_id").as("lsn"),
+          when(col("event_type") === "purchase", "delete")
+            .otherwise("upsert").as("op")), "compact-q", b.toLong)
+      }
+      lake.compact(dropTombstones = true)
+      lake.expireSnapshots(keepLast = 1)
+      localized(spark, lake.read()
+        .select("user_id", "last_op", "last_value"))
+    } finally rmTree(new java.io.File(tmp))
+  }
+
   /** Materialize a (small, query-result-sized) frame into a local
     * DataFrame so the temp LakeTable directory backing it can be deleted
     * before the caller ever evaluates the result — repeated bench/verify
@@ -481,7 +544,9 @@ object SparkEntry {
     "dedup_normalized" -> dedupNormalized,
     // lake maintenance surface (merge + lookup + change feed) as rows
     "lake_lookup" -> lakeLookup,
-    "lake_change_feed" -> lakeChangeFeed)
+    "lake_change_feed" -> lakeChangeFeed,
+    "lake_time_travel" -> lakeTimeTravel,
+    "lake_compacted_state" -> lakeCompactedState)
 
   def oracleSql: Map[String, String] = Map(
     "cdc_final_state" ->
@@ -816,6 +881,21 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 3
         |        ORDER BY event_id DESC) AS rn FROM events) t
         |WHERE rn = 1""".stripMargin,
+    // table state AS OF version 2 = winners over the first two merge
+    // batches (event_id % 3 < 2), tombstones dropped
+    "lake_time_travel" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id % 3 < 2) t
+        |WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
+    // final state must survive major compaction + snapshot expiry
+    // unchanged: winners over ALL events, tombstones dropped
+    "lake_compacted_state" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
     // regenerates Multimodal.synthetic + decodeStub's arithmetic outputs
     // from first principles (payload byte j of media i = (i*31+j*7)%251)
     "multimodal_features" ->
