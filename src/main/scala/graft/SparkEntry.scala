@@ -128,6 +128,33 @@ object SparkEntry {
       .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_extendedprice"))
   }
 
+  /** Distributed AS-OF join as an oracle-checked row: for each purchase
+    * event, the latest click at-or-before it by the same user (classic
+    * last-touch attribution). The Spark side is the single-shuffle
+    * union-and-sweep in [[graft.operators.Relational.asofJoin]]; the
+    * oracle is the O(n·m)-per-key declarative form (join + row_number) —
+    * green iff the sweep picks exactly the max-ts eligible click per
+    * purchase.
+    */
+  private def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.operators.Relational.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click"),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("event_id", "value"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity gap) over the events
+    * stream, per user: session bounds + event counts, exact microsecond
+    * gap arithmetic so any engine reproduces the split points.
+    */
+  private def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.sessionize(
+      t(spark, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+
   // -- training-data operators ---------------------------------------------------
 
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -515,6 +542,8 @@ object SparkEntry {
     "agg_pushdown" -> aggPushdown,
     "broadcast_join" -> broadcastJoin,
     "topk_per_group" -> topkPerGroup,
+    "asof_join" -> asofJoinQ,
+    "sessionize" -> sessionizeQ,
     // training-data ops
     "dedup_exact" -> dedupExact,
     "dedup_survivors" -> dedupSurvivors,
@@ -603,6 +632,39 @@ object SparkEntry {
         |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
         |      FROM lineitem) t
         |WHERE rank <= 3""".stripMargin,
+    // declarative as-of: per purchase, the max-ts click with ts <= the
+    // purchase ts for the same user; ties (none in this data — (user,ts)
+    // is unique) break by event_id DESC, matching the sweep's
+    // largest-right-struct tie-break
+    "asof_join" ->
+      """SELECT purchase_id, user_id, ts,
+        |  event_id AS asof_event_id, value AS asof_value
+        |FROM (SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+        |        c.event_id, c.value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |      FROM events p JOIN events c
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts
+        |         AND c.event_type = 'click'
+        |      WHERE p.event_type = 'purchase') t
+        |WHERE rn = 1""".stripMargin,
+    // 30-min-gap sessions per user, exact microsecond gap arithmetic
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

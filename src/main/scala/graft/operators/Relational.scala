@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed from existing
+  * ops so Catalyst keeps optimizing around them (preference (a) of the
+  * custom-operator ladder — no custom plan nodes needed).
+  *
+  * Both operators here are single-shuffle by construction: they
+  * repartition once on the join/group key and do all per-key work inside
+  * the resulting sort (window functions over `partitionBy(key)`), so at
+  * cluster scale the cost is one exchange + an external sort — no
+  * broadcast of the big side, no O(n·m) expansion, no driver state.
+  */
+object Relational {
+
+  /** Distributed AS-OF join: for each left row, the single right row with
+    * the greatest `rightTime <= leftTime` for the same key (inner
+    * semantics — left rows with no eligible right row are dropped).
+    *
+    * Implementation is the canonical union-and-sweep shape, not a range
+    * join: tag both sides, union them, and per key sweep time-ascending
+    * carrying the last-seen right payload (`last(_, ignoreNulls) over
+    * rowsBetween(unboundedPreceding, currentRow)`). ONE hash exchange on
+    * the key + ONE sort — wall-clock is O((|L|+|R|) log) per partition
+    * regardless of how many right rows precede each left row, where the
+    * naive `JOIN ... ON t_r <= t_l` + row_number explodes as O(|L|·|R|)
+    * per key first. Right rows at exactly `leftTime` sort before left
+    * rows (side 0 < 1), giving inclusive `<=`.
+    *
+    * Ties among right rows with identical (key, time) are broken
+    * deterministically by the LARGEST right payload struct (lexicographic
+    * by `rightCols` order) — callers wanting a specific tie-break put the
+    * tiebreak column first in `rightCols`.
+    *
+    * Output: every left column, then `rightCols` renamed `asof_<col>`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    val leftCols = left.columns.toSeq
+    val rStruct = struct(rightCols.map(right(_)): _*)
+    val lSide = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(leftCols.map(left(_)): _*).as("__l"))
+    val rSide = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      rStruct.as("__r"))
+    val rType = rSide.schema("__r").dataType
+    val lType = lSide.schema("__l").dataType
+    val u =
+      lSide.select(col("__k"), col("__t"), col("__side"),
+          lit(null).cast(rType).as("__r"), col("__l").as("__lv"))
+        .unionAll(rSide.select(col("__k"), col("__t"), col("__side"),
+          col("__r"), lit(null).cast(lType).as("__lv")))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+    val out: Seq[Column] =
+      leftCols.map(c => col(s"__lv.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(s"asof_$c"))
+    matched.select(out: _*)
+  }
+
+  /** Gap-based sessionization: per key, time-ordered events split into
+    * sessions wherever the gap to the previous event exceeds
+    * `gapSeconds`. Returns one row per session: key, 1-based
+    * `session_seq`, `n_events`, `session_start`, `session_end`.
+    *
+    * Two window passes + one aggregate, all `partitionBy(key)` — Catalyst
+    * plans ONE exchange and reuses the sort across both windows and the
+    * final hash aggregate's partial side.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    // exact microsecond arithmetic via interval comparison — timezone-free,
+    // works for TIMESTAMP and TIMESTAMP_NTZ alike (unix_timestamp would
+    // truncate to seconds; unix_micros rejects NTZ)
+    val gap = make_dt_interval(lit(0), lit(0), lit(0), lit(gapSeconds))
+    val newSession =
+      when(col("__prev").isNull, 1)
+        .otherwise((col(tsCol) - col("__prev") > gap).cast("int"))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byTime))
+      .withColumn("__new", newSession)
+      .withColumn("session_seq",
+        sum(col("__new")).over(byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+}

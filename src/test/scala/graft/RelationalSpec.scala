@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** asofJoin / sessionize semantics, edge cases, and plan shape. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left time, inner semantics") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // matches e2 (09:59), not e3 (10:01)
+      (2L, "k1", ts("2024-01-01 12:00:00")), // matches e3
+      (3L, "k2", ts("2024-01-01 08:00:00")), // no event before → dropped
+      (4L, "k3", ts("2024-01-01 08:00:00"))  // key with no events → dropped
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, "k1", ts("2024-01-01 09:00:00"), 1.0),
+      (11L, "k1", ts("2024-01-01 09:59:00"), 2.0),
+      (12L, "k1", ts("2024-01-01 10:01:00"), 3.0),
+      (13L, "k2", ts("2024-01-01 09:00:00"), 4.0)
+    ).toDF("eid", "k", "t", "v")
+    val out = Relational.asofJoin(left, right, "k", "k", "t", "t",
+      Seq("eid", "v"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq ===
+      Seq((1L, 11L, 2.0), (2L, 12L, 3.0)))
+  }
+
+  test("asofJoin is inclusive: a right row at exactly the left time matches") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((7L, "k", ts("2024-01-01 10:00:00"), 9.0))
+      .toDF("eid", "k", "t", "v")
+    val out = Relational.asofJoin(left, right, "k", "k", "t", "t", Seq("eid", "v"))
+    assert(out.select("asof_eid").as[Long].head() === 7L)
+  }
+
+  test("asofJoin breaks equal-(key,time) right ties by the largest payload struct") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (5L, "k", ts("2024-01-01 09:00:00"), 1.0),
+      (9L, "k", ts("2024-01-01 09:00:00"), 2.0))
+      .toDF("eid", "k", "t", "v")
+    val out = Relational.asofJoin(left, right, "k", "k", "t", "t", Seq("eid", "v"))
+    assert(out.select("asof_eid").as[Long].head() === 9L) // max eid wins
+  }
+
+  test("asofJoin plans one exchange on the key — no cartesian/range-join expansion") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((5L, "k", ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("eid", "k", "t", "v")
+    val plan = Relational.asofJoin(left, right, "k", "k", "t", "t", Seq("eid", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the union-and-sweep shape: one window over the union
+    assert("(?i)window".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("sessionize splits on gaps strictly greater than gapSeconds, exact to the microsecond") {
+    val ev = Seq(
+      // k1: 3 events, gap of exactly 1800s between #1/#2 (same session),
+      // then 1800.000001s to #3 (new session)
+      (1L, "k1", ts("2024-01-01 10:00:00")),
+      (2L, "k1", ts("2024-01-01 10:30:00")),
+      (3L, "k1", java.sql.Timestamp.from(
+        ts("2024-01-01 11:00:00").toInstant.plusNanos(1000))),
+      // k2: single event → single session
+      (4L, "k2", ts("2024-01-01 00:00:00"))
+    ).toDF("eid", "k", "t")
+    val out = Relational.sessionize(ev, "k", "t", gapSeconds = 1800)
+      .orderBy("k", "session_seq").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("k1", 1L, 2L), ("k1", 2L, 1L), ("k2", 1L, 1L)))
+  }
+
+  test("sessionize matches a brute-force reference on 1k random events across 20 keys") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, s"k${rnd.nextInt(20)}",
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L +
+          rnd.nextInt(1000)))
+    }
+    val df = rows.toDF("eid", "k", "t")
+    val got = Relational.sessionize(df, "k", "t", gapSeconds = 600)
+      .select("k", "session_seq", "n_events").as[(String, Long, Long)]
+      .collect().toSet
+    val want = rows.groupBy(_._2).flatMap { case (k, evs) =>
+      val sorted = evs.map(_._3.getTime).sorted
+      val seqs = scala.collection.mutable.ArrayBuffer[Long]()
+      var seq = 0L; var prev = Long.MinValue
+      val counts = scala.collection.mutable.LinkedHashMap[Long, Long]()
+      sorted.foreach { t =>
+        if (prev == Long.MinValue || t - prev > 600000L) seq += 1
+        counts(seq) = counts.getOrElse(seq, 0L) + 1
+        prev = t
+      }
+      counts.map { case (s, n) => (k, s, n) }
+    }.toSet
+    assert(got === want)
+  }
+}
