@@ -155,6 +155,25 @@ object SparkEntry {
     graft.operators.Relational.sessionize(
       t(spark, dir, "events"), "user_id", "ts", gapSeconds = 1800)
 
+  /** Bucketed time-range join as an oracle-checked row: every click in
+    * the 24 h window before each purchase by the same user. The Spark
+    * side is the binned equi-join in
+    * [[graft.operators.Relational.rangeJoin]] (join on (key, ⌊t/W⌋),
+    * exact interval post-filter — never a per-key cartesian); the oracle
+    * is the declarative BETWEEN join.
+    */
+  private def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.operators.Relational.rangeJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click"),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      lowerSeconds = -86400L, upperSeconds = 0L,
+      rightCols = Seq("event_id", "ts"))
+  }
+
   // -- training-data operators ---------------------------------------------------
 
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -543,6 +562,7 @@ object SparkEntry {
     "broadcast_join" -> broadcastJoin,
     "topk_per_group" -> topkPerGroup,
     "asof_join" -> asofJoinQ,
+    "range_join" -> rangeJoinQ,
     "sessionize" -> sessionizeQ,
     // training-data ops
     "dedup_exact" -> dedupExact,
@@ -648,6 +668,15 @@ object SparkEntry {
         |         AND c.event_type = 'click'
         |      WHERE p.event_type = 'purchase') t
         |WHERE rn = 1""".stripMargin,
+    // declarative range join: every click within the 24h before each
+    // purchase by the same user (both ends inclusive)
+    "range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+        |  c.event_id AS r_event_id, c.ts AS r_ts
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     // 30-min-gap sessions per user, exact microsecond gap arithmetic
     "sessionize" ->
       """WITH g AS (

@@ -69,6 +69,60 @@ object Relational {
     matched.select(out: _*)
   }
 
+  /** Distributed RANGE (interval) join: all (left, right) pairs with the
+    * same key and `rightTime ∈ [leftTime + lowerSeconds, leftTime +
+    * upperSeconds]` (both ends inclusive).
+    *
+    * A naive `l.k = r.k AND r.t BETWEEN …` plans as an equi-join on the
+    * key with the range as a residual filter — per hot key that is an
+    * O(|L|·|R|) comparison loop. This implementation bins time into
+    * buckets of the window width W = upper − lower: the right side lands
+    * in bucket ⌊t/W⌋, the left side explodes to the ≤ 2 buckets its
+    * window overlaps, and the join is a plain equi-join on
+    * (key, bucket) — group sizes are bounded by events-per-key-per-W,
+    * not events-per-key, so a key that is hot over a long time span no
+    * longer concentrates a partition. One explode (≤ 2× left), one
+    * shuffle, exact interval post-filter.
+    *
+    * Bucketing converts time to microseconds via a cast to TIMESTAMP
+    * (session-timezone interpretation for NTZ inputs — any consistent
+    * monotone mapping works since both sides use the same cast); the
+    * final range filter compares the raw timestamps with interval
+    * arithmetic, so the result is exact regardless of zone.
+    *
+    * Output: every left column, then `rightCols` renamed `r_<col>`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftTime: String, rightTime: String,
+                lowerSeconds: Long, upperSeconds: Long,
+                rightCols: Seq[String]): DataFrame = {
+    require(upperSeconds > lowerSeconds, "window must have positive width")
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    val widthUs = (upperSeconds - lowerSeconds) * 1000000L
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    // exact long floor-division (a may be negative; pmod is non-negative,
+    // so the numerator is an exact multiple of the width and the double
+    // division below is exact for any realistic bucket index)
+    def floorDiv(a: Column): Column =
+      ((a - pmod(a, lit(widthUs))) / lit(widthUs)).cast("long")
+    val lower = make_dt_interval(lit(0), lit(0), lit(0), lit(lowerSeconds))
+    val upper = make_dt_interval(lit(0), lit(0), lit(0), lit(upperSeconds))
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__bucket", explode(sequence(
+      floorDiv(micros(col(leftTime)) + lit(lowerSeconds * 1000000L)),
+      floorDiv(micros(col(leftTime)) + lit(upperSeconds * 1000000L)))))
+    val r = right.select(
+      (col(rightKey).as("__rk") +: col(rightTime).as("__rt") +:
+        floorDiv(micros(col(rightTime))).as("__rbucket") +:
+        rightCols.map(c => right(c).as(s"r_$c"))): _*)
+    l.join(r,
+        col(leftKey) === col("__rk") && col("__bucket") === col("__rbucket") &&
+          col("__rt") >= col(leftTime) + lower &&
+          col("__rt") <= col(leftTime) + upper)
+      .select((leftCols.map(col) ++ rightCols.map(c => col(s"r_$c"))): _*)
+  }
+
   /** Gap-based sessionization: per key, time-ordered events split into
     * sessions wherever the gap to the previous event exceeds
     * `gapSeconds`. Returns one row per session: key, 1-based

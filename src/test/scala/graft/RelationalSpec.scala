@@ -60,6 +60,52 @@ class RelationalSpec extends SparkSpec {
     assert("(?i)window".r.findAllIn(plan).nonEmpty)
   }
 
+  test("rangeJoin returns exactly the pairs inside the closed window, incl. both boundaries") {
+    val left = Seq(
+      (1L, "k", ts("2024-01-01 12:00:00")),
+      (2L, "k", ts("2024-01-02 00:00:00"))
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, "k", ts("2024-01-01 11:00:00")), // 1h before l1: in
+      (11L, "k", ts("2024-01-01 12:00:00")), // exactly at l1: in (upper bound)
+      (12L, "k", ts("2023-12-31 12:00:00")), // exactly 24h before l1: in (lower bound)
+      (13L, "k", java.sql.Timestamp.from(   // 24h + 1µs before l1: out
+        ts("2023-12-31 12:00:00").toInstant.minusNanos(1000))),
+      (14L, "k", ts("2024-01-01 12:00:01")), // after l1, 12h before l2: in for l2 only
+      (15L, "x", ts("2024-01-01 11:30:00"))  // other key: out
+    ).toDF("rid", "k", "t")
+    val out = Relational.rangeJoin(left, right, "k", "k", "t", "t",
+      lowerSeconds = -86400L, upperSeconds = 0L, rightCols = Seq("rid"))
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 14L)))
+  }
+
+  test("rangeJoin matches a brute-force reference on 2k random events and plans an equi-join") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, s"k${rnd.nextInt(10)}",
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L))
+    }
+    val df = rows.toDF("id", "k", "t")
+    val lo = -900L; val hi = 300L
+    val joined = Relational.rangeJoin(
+      df.select(col("id").as("lid"), col("k"), col("t").as("lt")),
+      df, "k", "k", "lt", "t", lo, hi, Seq("id"))
+    val got = joined.select("lid", "r_id").as[(Long, Long)].collect().toSet
+    val byKey = rows.groupBy(_._2)
+    val want = (for {
+      (lid, k, lt) <- rows
+      (rid, _, rt) <- byKey(k)
+      d = rt.getTime - lt.getTime
+      if d >= lo * 1000 && d <= hi * 1000
+    } yield (lid, rid)).toSet
+    assert(got === want)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sessionize splits on gaps strictly greater than gapSeconds, exact to the microsecond") {
     val ev = Seq(
       // k1: 3 events, gap of exactly 1800s between #1/#2 (same session),
