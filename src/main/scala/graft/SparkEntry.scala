@@ -529,6 +529,25 @@ object SparkEntry {
     f.delete(); ()
   }
 
+  /** Per-doc term salience as an oracle-checked row: the 3 terms of
+    * each document with the lowest corpus document frequency (the rank
+    * order TF-IDF induces over distinct per-doc term sets) — integer
+    * arithmetic only, so the inverted index, the df aggregation, AND
+    * the per-doc rank window are all pinned exactly.
+    */
+  private def rarestTermsQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.rarestTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+
+  /** Exact grouped order statistics (per-language corpus length stats)
+    * as an oracle-checked row: integer order-statistic indices
+    * (ceil(n/2), ceil(9n/10)) instead of percentile interpolation, so
+    * the numbers are engine-exact.
+    */
+  private def docStatsByLangQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.groupedOrderStats(
+      t(spark, dir, "documents").select("lang", "n_chars", "doc_id"),
+      "lang", "n_chars", "doc_id")
+
   /** Exact dedup over NORMALIZED text (lowercase, digit runs → 0,
     * whitespace collapsed): catches template/boilerplate duplicates that
     * differ only in numbers/case/layout — normalization strictly coarsens
@@ -588,6 +607,8 @@ object SparkEntry {
     "neardup_clusters" -> clusterKeepers,
     "sample_stratified" -> sampleStratified,
     "contamination" -> contaminationCheck,
+    "rarest_terms" -> rarestTermsQ,
+    "doc_stats_by_lang" -> docStatsByLangQ,
     "multimodal_features" -> multimodalFeatures,
     "neardup_survivors" -> neardupSurvivors,
     "dedup_normalized" -> dedupNormalized,
@@ -926,6 +947,33 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
         |  count(DISTINCT p.probe_id) AS n_probe_docs
         |FROM c JOIN p USING (g) GROUP BY 1""".stripMargin,
+    // per-doc rarest-term ranking: distinct unigram postings, corpus
+    // document frequency, rank by (df asc, term asc) per doc — the
+    // TF-IDF salience order, integer-exact
+    "rarest_terms" ->
+      s"""WITH ${shingleCteN(1)},
+        |toks AS (SELECT id AS doc_id, unnest(grams) AS term FROM sz),
+        |dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id, term, df, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT t.doc_id, t.term, d.df,
+        |        row_number() OVER (PARTITION BY t.doc_id
+        |          ORDER BY d.df, t.term) AS rn
+        |      FROM toks t JOIN dfreq d USING (term)) r
+        |WHERE rn <= 3""".stripMargin,
+    // exact per-language order statistics: integer indices ceil(n/2) /
+    // ceil(9n/10) over rows ordered by (n_chars, doc_id) — no
+    // percentile interpolation, engine-exact
+    "doc_stats_by_lang" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, max(n) AS n_rows, min(n_chars) AS min_v,
+        |  max(n_chars) AS max_v,
+        |  max(CASE WHEN rn = (n+1)//2 THEN n_chars END) AS median_v,
+        |  max(CASE WHEN rn = (9*n+9)//10 THEN n_chars END) AS p90_v
+        |FROM r GROUP BY lang""".stripMargin,
     // exact dedup on the dedup-normalized form: lowercase, digit runs
     // folded to 0, whitespace collapsed, trimmed — both engines replace
     // ALL occurrences (Spark regexp_replace default; DuckDB 'g' flag)

@@ -180,4 +180,63 @@ object Curation {
       .agg(count_distinct(col("g")).as("n_matched_grams"),
         count_distinct(col("probe_id")).as("n_probe_docs"))
   }
+
+  /** Per-document term salience, integer-exact: the k terms of each doc
+    * with the LOWEST corpus document frequency (ties by term asc) — the
+    * rank order TF-IDF induces when per-doc term sets are distinct
+    * (tf = 1), without any float idf arithmetic an oracle could
+    * disagree with at the last bit.
+    *
+    * Scale shape: one explode scan materializes the distinct
+    * (doc, term) postings ONCE; df is a map-side-combined aggregation
+    * over them; the join back to postings reuses the term partitioning
+    * (Catalyst reuses the exchange); the final per-doc top-k is a
+    * rank-limited window. No driver state, vocabulary never collected.
+    */
+  def rarestTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), 1)).as("term"))
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    postings.join(df, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("df"), col("rank"))
+  }
+
+  /** Exact per-group order statistics with pure integer index
+    * arithmetic: rows ordered by (value, tiebreak) within each group;
+    * median = the ceil(n/2)-th row's value, p90 = the ceil(9n/10)-th —
+    * no interpolation, so any engine reproduces the numbers exactly
+    * (percentile_cont's float interpolation is ULP-fragile across
+    * engines).
+    *
+    * Scale shape: one exchange on the group key serves both window
+    * passes and the final aggregation (Catalyst reuses the sort).
+    * Order statistics via a full per-group sort is the exact-answer
+    * cost; at 100 TB the approximate path (percentile_approx) is the
+    * documented alternative when ±ε is acceptable.
+    */
+  def groupedOrderStats(df: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val all = Window.partitionBy(col(groupCol))
+    // ceil(n/2) and ceil(9n/10) via floor((a+b-1)/b): double division of
+    // small positive longs then truncating cast is exact floor here
+    val kMed = ((col("__n") + 1) / 2).cast("long")
+    val kP90 = ((col("__n") * 9 + 9) / 10).cast("long")
+    df.withColumn("__rn", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(all))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_rows"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        max(when(col("__rn") === kMed, col(valueCol))).as("median_v"),
+        max(when(col("__rn") === kP90, col(valueCol))).as("p90_v"))
+  }
 }

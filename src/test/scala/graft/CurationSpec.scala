@@ -106,4 +106,42 @@ class CurationSpec extends SparkSpec {
     (0L until 10L).foreach(i => assert(got(i) === 0L, s"ring node $i"))
     (10L until 20L).foreach(i => assert(got(i) === 10L, s"star node $i"))
   }
+
+  test("rarestTerms ranks by (df asc, term asc) per doc and counts df over distinct postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta common common"), // 'common' twice: df counts it once
+      (2L, "beta common gamma"),
+      (3L, "common delta")
+    ).toDF("doc_id", "text")
+    // df: alpha 1, gamma 1, delta 1, beta 2, common 3
+    val got = Curation.rarestTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got((1L, 1)) === ("alpha", 1L))
+    assert(got((1L, 2)) === ("beta", 2L))
+    assert(got((2L, 1)) === ("gamma", 1L))
+    assert(got((2L, 2)) === ("beta", 2L))
+    assert(got((3L, 1)) === ("delta", 1L))
+    assert(got((3L, 2)) === ("common", 3L))
+  }
+
+  test("groupedOrderStats: integer order-statistic indices match a sorted-list reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = for (g <- 0 until 5; i <- 0 until (7 + g * 13))
+      yield (s"g$g", rnd.nextInt(1000).toLong, (g * 1000 + i).toLong)
+    val got = Curation.groupedOrderStats(
+        rows.toDF("grp", "v", "id"), "grp", "v", "id")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(x => (x._2, x._3)).sorted.map(_._1)
+      val n = sorted.length
+      val want = (n.toLong, sorted.head, sorted.last,
+        sorted((n + 1) / 2 - 1), sorted((9 * n + 9) / 10 - 1))
+      assert(got(g) === want, s"group $g n=$n")
+    }
+  }
 }
