@@ -94,6 +94,36 @@ class SessionizeStreamSpec extends SparkSpec {
       "append-mode stream output must equal batch sessionize on the real events")
   }
 
+  test("random log property: streaming equals batch across arbitrary micro-batch boundaries") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-05-01 00:00:00").getTime
+    // 5 keys × ~40 events over ~6 h at second+microsecond granularity:
+    // plenty of sub-gap runs and some super-gap splits at gap=1800 s
+    val events = (0 until 200).map { _ =>
+      val t = new Timestamp(base + rnd.nextInt(21600) * 1000L)
+      t.setNanos(rnd.nextInt(1000000) * 1000)
+      (rnd.nextInt(5).toLong + 10L, t)
+    }
+    val root = tmpDir("sess-prop")
+    val log = s"$root/log"; val out = s"$root/out"; val ck = s"$root/ck"
+    // time-ordered segmentation at arbitrary cut points (micro-batch
+    // boundaries are an accident of delivery, not of semantics); the
+    // single far-future sentinel drives the watermark past everything —
+    // keys 11-14 must flush purely via EventTimeTimeout
+    val sorted = events.sortBy(e => (e._2.getTime, e._2.getNanos))
+    val cuts = Seq(0, 47, 103, 160, 200)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      writeSegment(log, i, sorted.slice(a, b))
+    }
+    writeSegment(log, cuts.size - 1, Seq((10L, ts("2024-06-01 00:00:00"))))
+    runStream(log, out, ck)
+    val expected = Relational.sessionize(events.toDF("user_id", "ts"),
+        "user_id", "ts", Gap)
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(readOut(out) === expected)
+  }
+
   test("checkpoint resume continues session_seq from state, exactly once") {
     val root = tmpDir("sess-resume")
     val log = s"$root/log"; val out = s"$root/out"; val ck = s"$root/ck"
