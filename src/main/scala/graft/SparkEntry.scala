@@ -155,6 +155,22 @@ object SparkEntry {
     graft.operators.Relational.sessionize(
       t(spark, dir, "events"), "user_id", "ts", gapSeconds = 1800)
 
+  /** The LEFT-OUTER as-of variant as an oracle-checked row: every
+    * purchase keeps its row; those with no preceding click carry NULL
+    * `asof_*` columns — pinning the outer path's NULL semantics through
+    * the driver's cross-engine hash.
+    */
+  private def asofJoinLeftQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.operators.Relational.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click"),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("event_id", "value"), leftOuter = true)
+  }
+
   /** Bucketed time-range join as an oracle-checked row: every click in
     * the 24 h window before each purchase by the same user. The Spark
     * side is the binned equi-join in
@@ -581,6 +597,7 @@ object SparkEntry {
     "broadcast_join" -> broadcastJoin,
     "topk_per_group" -> topkPerGroup,
     "asof_join" -> asofJoinQ,
+    "asof_join_left" -> asofJoinLeftQ,
     "range_join" -> rangeJoinQ,
     "sessionize" -> sessionizeQ,
     // training-data ops
@@ -685,6 +702,21 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY p.event_id
         |          ORDER BY c.ts DESC, c.event_id DESC) AS rn
         |      FROM events p JOIN events c
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts
+        |         AND c.event_type = 'click'
+        |      WHERE p.event_type = 'purchase') t
+        |WHERE rn = 1""".stripMargin,
+    // the LEFT-OUTER as-of: purchases with no preceding click keep
+    // their row with NULL asof_* (the click filter must live in the ON
+    // clause, not WHERE, to preserve outer semantics)
+    "asof_join_left" ->
+      """SELECT purchase_id, user_id, ts,
+        |  event_id AS asof_event_id, value AS asof_value
+        |FROM (SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+        |        c.event_id, c.value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |      FROM events p LEFT JOIN events c
         |        ON c.user_id = p.user_id AND c.ts <= p.ts
         |         AND c.event_type = 'click'
         |      WHERE p.event_type = 'purchase') t

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** Distributed AS-OF join: for each left row, the single right row with
-    * the greatest `rightTime <= leftTime` for the same key (inner
-    * semantics — left rows with no eligible right row are dropped).
+    * the greatest `rightTime <= leftTime` for the same key. Inner
+    * semantics by default (left rows with no eligible right row are
+    * dropped); `leftOuter = true` keeps them with NULL `asof_*` columns —
+    * the usual enrichment shape ("attach the latest reading, if any").
     *
     * Implementation is the canonical union-and-sweep shape, not a range
     * join: tag both sides, union them, and per key sweep time-ascending
@@ -40,7 +42,8 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               leftOuter: Boolean = false): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must be non-empty")
     val leftCols = left.columns.toSeq
     val rStruct = struct(rightCols.map(right(_)): _*)
@@ -60,9 +63,11 @@ object Relational {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u
+    val swept = u
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__m").isNotNull)
+    val matched =
+      if (leftOuter) swept.filter(col("__side") === 1)
+      else swept.filter(col("__side") === 1 && col("__m").isNotNull)
     val out: Seq[Column] =
       leftCols.map(c => col(s"__lv.$c").as(c)) ++
         rightCols.map(c => col(s"__m.$c").as(s"asof_$c"))

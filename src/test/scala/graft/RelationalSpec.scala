@@ -47,6 +47,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.select("asof_eid").as[Long].head() === 9L) // max eid wins
   }
 
+  test("asofJoin leftOuter keeps unmatched left rows with NULL asof columns") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // matched
+      (2L, "k1", ts("2024-01-01 08:00:00")), // before any right row → NULL
+      (3L, "k2", ts("2024-01-01 10:00:00"))  // key absent on right → NULL
+    ).toDF("id", "k", "t")
+    val right = Seq((7L, "k1", ts("2024-01-01 09:00:00"), 1.5))
+      .toDF("eid", "k", "t", "v")
+    val out = Relational.asofJoin(left, right, "k", "k", "t", "t",
+        Seq("eid", "v"), leftOuter = true)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(3) === 7L && out(0).getDouble(4) === 1.5)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("asofJoin plans one exchange on the key — no cartesian/range-join expansion") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq((5L, "k", ts("2024-01-01 09:00:00"), 1.0))
