@@ -404,6 +404,21 @@ object SparkEntry {
       "doc_id", "text", n = 4)
   }
 
+  /** Scratch root for the transient lake fixtures below: tmpfs when
+    * available (same storage class Bench pins `spark.local.dir` to).
+    * These queries measure the merge/read computation; on this sandbox
+    * the default java.io.tmpdir disk throttles from ~258 MB/s to
+    * ~12 MB/s once burst credits exhaust (BENCH.md), which times the
+    * hypervisor, not the engine — the production analog is a lake on
+    * NVMe/object storage, not a depleted burst volume (guide §6).
+    */
+  private def fixtureTmpDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   /** The lake MERGE + bucket-pruned point lookup as an oracle-checked
     * row: ingest the events changelog into a fresh LakeTable (key =
     * user_id, purchase ⇒ delete) in one merge commit, then `lookup` the
@@ -414,8 +429,7 @@ object SparkEntry {
     */
   private def lakeLookup(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-lake-lookup").toString
+    val tmp = fixtureTmpDir("graft-lake-lookup")
     try {
       val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
       lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
@@ -442,8 +456,7 @@ object SparkEntry {
     */
   private def lakeChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-lake-feed").toString
+    val tmp = fixtureTmpDir("graft-lake-feed")
     try {
       val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
       lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
@@ -473,8 +486,7 @@ object SparkEntry {
     */
   private def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-lake-tt").toString
+    val tmp = fixtureTmpDir("graft-lake-tt")
     try {
       val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
       lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(
@@ -504,8 +516,7 @@ object SparkEntry {
     */
   private def lakeCompactedState(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-lake-compact").toString
+    val tmp = fixtureTmpDir("graft-lake-compact")
     try {
       val lake = graft.lake.LakeTable(spark, tmp, Seq("user_id"), numBuckets = 8)
       lake.createIfAbsent(org.apache.spark.sql.types.StructType.fromDDL(

@@ -41,9 +41,11 @@ object Curation {
     *    m = min({u} ∪ N⁻(u)), emit (v, m) for v ∈ N⁻(u) ∪ {u} —
     *    smaller-or-equal neighbors and u itself collapse onto m.
     *
-    * Scale shape: each star op is one map-side-combined `min` aggregation
-    * plus one shuffle join on the same key; the edge list is materialized
-    * per round ([[graft.util.Materialize]] barrier). Convergence is
+    * Scale shape: each star op is ONE exchange (its neighborhood min is
+    * a window aggregate over the key partition, so the old groupBy +
+    * join-back pair of exchanges collapses into the window's); the edge
+    * list is materialized per round (lazy [[graft.util.Materialize]]
+    * barrier, pinned by the fingerprint job). Convergence is
     * screened by an order-insensitive edge-multiset fingerprint (count +
     * bounded-hash sum, computed off the pinned blocks) and CONFIRMED by
     * an exact anti-join set comparison — run once, at the stable round —
@@ -57,32 +59,42 @@ object Curation {
     */
   def neardupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val barrier = graft.util.Materialize.barrier _
+    import org.apache.spark.sql.expressions.Window
+    val barrier = graft.util.Materialize.lazyBarrier _
 
-    /** large-star: strictly-larger neighbors attach to the neighborhood min. */
+    /** large-star: strictly-larger neighbors attach to the neighborhood
+      * min. The per-neighborhood min is a window aggregate over the key
+      * partition — ONE exchange, where the previous groupBy + join-back
+      * shape paid two (guide §2.4: window keyed like the aggregation
+      * shares its exchange). Output is NOT deduplicated (≤ 2|e| rows):
+      * small-star's window is duplicate-insensitive and its final
+      * `distinct` restores the set — one fewer exchange per round than
+      * deduplicating both halves.
+      */
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val m = sym.groupBy("u")
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      sym.join(m, "u")
+      sym.withColumn("m",
+          least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
 
     /** small-star: over large→small directed edges, ≤-neighbors and the
-      * center collapse onto the neighborhood min.
+      * center collapse onto the neighborhood min (same one-exchange
+      * window shape; the center's (u, m) edge rides the same rows via an
+      * explode instead of a second aggregate-and-union pass).
       */
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      val m = dir.groupBy("u").agg(min(col("v")).as("m")) // all v < u ⇒ m = min
-      dir.join(m, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(m.select(col("u"), col("m").as("v")))
+      dir.withColumn("m",
+          min(col("v")).over(Window.partitionBy(col("u")))) // all v < u ⇒ m = min
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
@@ -92,7 +104,9 @@ object Curation {
       * the cheap per-round stability SCREEN — a matching fingerprint is
       * CONFIRMED by an exact set comparison before the loop stops, so a
       * 2^-64 hash-sum collision can only cost one extra round, never a
-      * wrong early stop.
+      * wrong early stop. Doubles as the barrier's materializing action
+      * (the barriers are lazy): ONE job per round pins the round's edge
+      * blocks AND screens convergence.
       */
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)).as("n"),
@@ -100,17 +114,17 @@ object Curation {
           .as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
-    // both lists are distinct() outputs, so set equality == multiset
-    // equality; two anti-join counts, run once at convergence
+    // both lists are distinct() outputs with KNOWN-EQUAL cardinality
+    // (the fingerprint screen compared counts before this runs), so
+    // a ∖ b = ∅ alone proves a = b — one anti-join, not two
     def sameEdges(a: DataFrame, b: DataFrame): Boolean =
-      a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
-        b.join(a, Seq("u", "v"), "left_anti").isEmpty
+      a.join(b, Seq("u", "v"), "left_anti").isEmpty
 
     var edges = barrier(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .filter(col("u") =!= col("v")).distinct())
     var fp = fingerprint(edges)
-    var converged = edges.isEmpty
+    var converged = fp._1 == 0L // count from the fingerprint: no isEmpty job
     var iter = 0
     while (!converged && iter < maxIters) {
       val prev = edges

@@ -72,10 +72,12 @@ object Dedup {
     */
   private val P = 2147483647L // 2^31 - 1
 
-  /** Deterministic 31-bit affine coefficients for permutation j. */
-  private def coefA(j: Int): Long =
+  /** Deterministic 31-bit affine coefficients for permutation j (shared
+    * with the [[graft.functions.MinhashBands]] kernel).
+    */
+  private[graft] def coefA(j: Int): Long =
     ((0x9e3779b97f4a7c15L * (2L * j + 1)) >>> 33) | 1L
-  private def coefB(j: Int): Long =
+  private[graft] def coefB(j: Int): Long =
     (0xc2b2ae3d27d4eb4fL * (j + 1)) >>> 33
 
   /** k-permutation MinHash signature, expression-only: for each j,
@@ -142,8 +144,32 @@ object Dedup {
   /** Candidate pairs from a precomputed (`__id`, `__sh` array) frame —
     * lets `minhashNearDups` share one materialized shingle pass between
     * the signature stage and the verify joins.
+    *
+    * Banding runs as the per-row [[graft.functions.MinhashBands]] codegen
+    * kernel: the signature stage is a pure projection — ZERO shuffle —
+    * where the previous shape exploded every (doc × shingle) into a
+    * 64-min partial aggregate (guide §2.3: don't shuffle what a map can
+    * compute). [[minhashBandedAgg]] keeps that shape as the equivalence
+    * reference (MinhashBandsSpec asserts bit-identical buckets).
     */
   private def candidatesFromShingles(sh: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sh.select(col("__id").as("id"),
+        posexplode(graft.functions.MinhashBands
+          .minhashBands(col("__sh"), bands, rowsPerBand)))
+      .toDF("id", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** The explode + 64-min-aggregate + multi-arg-xxhash64 banding the
+    * kernel replaced — retained as the equivalence reference
+    * (MinhashBandsSpec pins kernel buckets bit-identical to this).
+    */
+  private[graft] def minhashBandedAgg(sh: DataFrame,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val exploded = sh
@@ -153,17 +179,12 @@ object Dedup {
       min(pmod(col("h") * coefA(0) + coefB(0), lit(P))).as("m0"),
       (1 until k).map(j =>
         min(pmod(col("h") * coefA(j) + coefB(j), lit(P))).as(s"m$j")): _*)
-    val banded = sig.select(col("id"), posexplode(array(
+    sig.select(col("id"), posexplode(array(
       (0 until bands).map { b =>
         xxhash64((Seq(lit(b): Column) ++ (0 until rowsPerBand)
           .map(r => col(s"m${b * rowsPerBand + r}"))): _*)
       }: _*)))
       .toDF("id", "band", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify
@@ -214,13 +235,25 @@ object Dedup {
     conv(substring(md5(t), 16, 15), 16, 10).cast("long")
 
   /** SimHash fingerprints for a corpus: per bit b, sum of ±1 over token
-    * occurrences' bit b; fingerprint bit = sign(sum) > 0. Shape: explode
-    * tokens → 60 codegen'd conditional sums (one shuffle with map-side
-    * partial aggregation — the same scale-friendly shape as
-    * `minhashSignatures`; an `aggregate()` fold would be interpreted).
-    * Docs with zero tokens get fingerprint 0 via the left join.
+    * occurrences' bit b; fingerprint bit = sign(sum) > 0. Runs as the
+    * per-row [[graft.functions.SimhashFp]] codegen kernel — a pure
+    * projection over the scan, ZERO shuffle (guide §2.3/§4); the
+    * explode + 60-sum aggregation + join-back shape it replaced is kept
+    * as [[simhashDfAgg]], the equivalence reference (SimhashFpSpec
+    * asserts bit-identical fingerprints). Docs with zero tokens (and
+    * NULL text) get fingerprint 0, exactly as the aggregation shape's
+    * left join + coalesce produced.
     */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      coalesce(graft.functions.SimhashFp.simhashFp(col(textCol)), lit(0L))
+        .as("simhash"))
+
+  /** The aggregation formulation the kernel replaced — retained as the
+    * equivalence reference for SimhashFpSpec.
+    */
+  private[graft] def simhashDfAgg(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")).as("t"))
       .select(col("id"), tokHashLo(col("t")).as("lo"), tokHashHi(col("t")).as("hi"))
@@ -300,7 +333,10 @@ object Dedup {
             shiftright(col("sh"), off).bitwiseAND(lit((1L << w) - 1)))
         }
       }.toSeq
-    val f = simhashDf(df, idCol, textCol).toDF("id", "sh")
+    // materialized ONCE: both self-join sides read the pinned 8-byte
+    // fingerprints instead of re-running the md5 kernel over the corpus
+    val f = graft.util.Materialize.barrier(
+      simhashDf(df, idCol, textCol).toDF("id", "sh"))
     val tables = f.select(col("id"), col("sh"),
         posexplode(array(tableKeys: _*)))
       .toDF("id", "sh", "t", "key")
@@ -344,10 +380,19 @@ object Dedup {
       posts.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("g"))
     val filtered = posts.join(broadcast(heavy), Seq("g"), "left_anti")
-    val l = filtered.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val r = filtered.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
-    l.join(r, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+    // pair generation: ONE exchange on the gram (collect the df-capped
+    // posting list, ≤ maxDocFreq entries by construction) + the
+    // PostingPairs codegen kernel, instead of shuffling the postings
+    // TWICE through a self-join (guide §2.3/§2.4). The emitted pair
+    // multiset is identical to the join's `a.g = b.g AND a.id < b.id`.
+    val pairs = filtered
+      .groupBy("g")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ps"))
+      .select(explode(graft.functions.PostingPairs.postingPairs(col("ps")))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+    pairs
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -45,6 +45,21 @@ object Materialize {
   def mode(df: DataFrame): String =
     df.sparkSession.conf.get(ModeKey, "local")
 
+  /** Like [[barrier]] but NON-EAGER in `local` mode: the plan is
+    * truncated immediately and the blocks pin on the FIRST downstream
+    * action, letting a caller fuse the materialization into an action it
+    * must run anyway (the component loop's per-round fingerprint
+    * aggregate) — one job per round instead of two (guide §1.2: remove
+    * passes). In `reliable` mode this stays EAGER: a lazy reliable
+    * checkpoint recomputes the plan a second time for the checkpoint
+    * write (the documented RDD.checkpoint contract), which costs more
+    * than the job it saves.
+    */
+  def lazyBarrier(df: DataFrame): DataFrame = mode(df) match {
+    case "local" => df.localCheckpoint(eager = false)
+    case _ => barrier(df)
+  }
+
   /** Materialize `df` eagerly and return a frame whose downstream
     * consumers read pinned blocks instead of recomputing the input.
     */
