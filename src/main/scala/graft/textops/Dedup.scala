@@ -356,29 +356,36 @@ object Dedup {
     * Rare-ngram posting lists keep the pair blowup bounded; a df-cap
     * (`maxDocFreq`) drops stop-ngrams that would quadratically explode.
     *
-    * The capped postings are materialized ONCE ([[graft.util.Materialize]]
-    * barrier, spills to disk) before fanning out: the shingling HOF is the
-    * dominant cost, and without the barrier the self-join + heavy-hitter
-    * subquery re-evaluate it on every branch — measured 4 evaluations per
-    * run and 53% of the whole sf0.1 query bench before the fix.
+    * The shingle arrays are materialized ONCE ([[graft.util.Materialize]]
+    * barrier): the shingling kernel is the dominant per-row cost, and
+    * without the barrier the heavy-hitter subquery and the pairing group
+    * would each re-evaluate it — the pre-r6 shape measured 4 evaluations
+    * per run and 53% of the whole sf0.1 query bench before barriers.
+    * Pair generation is the single-exchange collect_list +
+    * [[graft.functions.PostingPairs]] kernel shape (see below), not a
+    * postings self-join.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val posts = graft.util.Materialize.barrier(
-      sh.select(col("id"), col("sz"), explode(col("sh")).as("g")))
+    // materialize the per-doc SHINGLE ARRAYS (one row per doc), not the
+    // exploded postings: both consumers below re-explode from the pinned
+    // arrays (cheap generate, no shingling recompute) and the barrier
+    // stores n_docs rows instead of n_postings
+    val sh = graft.util.Materialize.barrier(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("sz", size(col("sh"))))
+    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     // doc-frequency cap via partial-aggregated groupBy + broadcast
     // anti-join, NOT a window: count().over(partitionBy(g)) would shuffle
     // every posting of a stop-ngram to ONE task before the cap can drop
-    // it — the exact skew the cap exists to avoid. groupBy combines
-    // map-side; the heavy-hitter set is ≤ postings/maxDocFreq keys, tiny.
-    // Materialized (it is tiny) so the aggregate subtree runs ONCE instead
-    // of once per self-join side — without the barrier each branch of the
-    // pair join rebuilt its own copy of the heavy-hitter groupBy.
-    val heavy = graft.util.Materialize.barrier(
-      posts.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDocFreq).select("g"))
+    // it — the exact skew the cap exists to avoid (and the reason the
+    // cap cannot simply ride the collect_list group below: a stop-gram's
+    // postings would all land on one task before the size filter could
+    // drop them). groupBy combines map-side; the heavy-hitter set is
+    // ≤ postings/maxDocFreq keys, tiny, and now has ONE consumer — no
+    // barrier needed.
+    val heavy = posts.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("g")
     val filtered = posts.join(broadcast(heavy), Seq("g"), "left_anti")
     // pair generation: ONE exchange on the gram (collect the df-capped
     // posting list, ≤ maxDocFreq entries by construction) + the

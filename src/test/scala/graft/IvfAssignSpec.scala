@@ -109,6 +109,51 @@ class IvfAssignSpec extends SparkSpec {
     assert(aSmall === aSmallB)
   }
 
+  test("k-means packed centroid collect is bit-identical to the row-per-(cid,dim) shape at 4096 cells x dim 256") {
+    // r5 verdict #2: the Lloyd update must not pull nCells × dim scalar
+    // rows through one driver collect. The packed path collects ≤ nCells
+    // rows (the size of the index the driver must hold anyway); this pins
+    // it bit-identical to the replaced row-collect update at a dial where
+    // the difference matters (4096 cells × 256 dims → 1M scalar rows
+    // before, 4096 packed rows now).
+    val nCells = 4096
+    val dim = 256
+    val corpus = synthVecs(4600, dim)
+    val got = Similarity
+      .ivfCentroidsKmeans(corpus, "vec_id", "embedding", nCells, iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    // reference: the replaced update, straight from first principles —
+    // seed centroids = nCells lowest-id vectors, one broadcast-kernel
+    // assignment, per-(cid, d) exact i64 sums collected row-per-pair
+    val seeds: Array[(Long, Array[Double])] = corpus
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    val assigned = Similarity.ivfAssignBroadcast(
+      corpus.select(col("embedding").as("__v")), seeds, "__v", LongType)
+    val sums = assigned
+      .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(sum(floor(col("x").cast("double") * 1048576.0)).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val byCell = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      cid -> rows.sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1048576L).toDouble)
+    }
+    val want = seeds.map { case (cid, old) =>
+      cid -> byCell.getOrElse(cid, old)
+    }.toMap
+
+    assert(got.keySet === want.keySet)
+    got.foreach { case (cid, v) =>
+      assert(java.util.Arrays.equals(v, want(cid)), s"centroid $cid differs")
+    }
+  }
+
   test("cosineNearDups auto-dials nPlanes from the corpus size") {
     val corpus = synthVecs(300, 8)
     // nPlanes <= 0 must derive a dial and still produce a valid pair set
