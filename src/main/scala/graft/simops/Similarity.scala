@@ -291,26 +291,29 @@ object Similarity {
       .drop("__centroid")
   }
 
-  /** Above this many centroids the inline-literal assignment plan is the
-    * wrong shape: it embeds `nCells × dim` double literals in one
-    * projection, and at `autoCells`' 65,536-cell clamp with 768-dim
-    * vectors that is ~50M literals — plan serialization and codegen blow
-    * up long before any data cost matters. Past the threshold the argmax
-    * runs against a broadcast centroid index instead
-    * ([[graft.functions.NearestCentroid]]); both paths compute
-    * bit-identical assignments (equivalence-tested across the boundary,
-    * IvfAssignSpec).
+  /** Retired dispatch threshold, kept for the equivalence tests that
+    * probe both shapes around it. The inline-literal plan embeds
+    * `nCells × dim` double literals in one projection — at `autoCells`'
+    * 65,536-cell clamp with 768-dim vectors ~50M literals, where plan
+    * serialization and codegen blow up — and even at 16 cells its argmax
+    * is an interpreted `aggregate` fold per row whose literal tree costs
+    * ~0.3 s of analysis/codegen per query (measured r6, the ivf family
+    * dropped 4.0 s → 2.9 s like-for-like). The broadcast
+    * [[graft.functions.NearestCentroid]] index is bit-identical
+    * (IvfAssignSpec) and strictly cheaper to plan AND run at every cell
+    * count, so [[ivfAssign]] now always uses it; the inline shape
+    * remains as the ANSI-SQL-transparent equivalence reference.
     */
   private[graft] val InlineCentroidMax = 256
 
   /** Assign each corpus vector to its single nearest cell — as a PURE
     * EXPRESSION, zero shuffle: a codegen'd map over the scan (ties by
-    * lowest cid, the same order `rankCells` uses). At ≤
-    * [[InlineCentroidMax]] cells the centroids are inlined as struct
-    * literals (whole plan constant-folded into the projection, ANSI-SQL
-    * reproducible — the oracle-checked shape); above, they ride a Spark
-    * broadcast and the argmax is the [[graft.functions.NearestCentroid]]
-    * kernel. The pre-r3 shape joined corpus×nCells rows and ran
+    * lowest cid, the same order `rankCells` uses). The centroids ride a
+    * Spark broadcast and the argmax is the
+    * [[graft.functions.NearestCentroid]] kernel at every cell count
+    * (see [[InlineCentroidMax]] — the inline-literal shape is kept only
+    * as the ANSI-SQL-transparent equivalence reference). The pre-r3
+    * shape joined corpus×nCells rows and ran
     * `row_number() over (partition by row id)` — a full shuffle of
     * nCells× the corpus just to take an argmax, which at 100 TB is the
     * whole job.
@@ -332,15 +335,14 @@ object Similarity {
       (r.get(0).asInstanceOf[Number].longValue(), cv)
     }
 
-  /** Dispatch on centroid count — see [[InlineCentroidMax]]. */
+  /** Always the broadcast-index kernel — see [[InlineCentroidMax]] for
+    * why the inline-literal shape lost the dispatch.
+    */
   private def assignToCentroids(corpus: DataFrame,
       cents: Array[(Long, Array[Double])], vecCol: String,
       cidType: org.apache.spark.sql.types.DataType): DataFrame = {
     require(cents.nonEmpty, "ivfAssign: empty centroid set")
-    if (cents.length <= InlineCentroidMax)
-      ivfAssignInline(corpus, cents, vecCol, cidType)
-    else
-      ivfAssignBroadcast(corpus, cents, vecCol, cidType)
+    ivfAssignBroadcast(corpus, cents, vecCol, cidType)
   }
 
   /** The exact left-to-right fold the `norm` expression performs

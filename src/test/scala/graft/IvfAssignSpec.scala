@@ -93,20 +93,20 @@ class IvfAssignSpec extends SparkSpec {
     assert(a(1L) === cents.head._1)
   }
 
-  test("ivfAssign dispatches: inline at <=256 cells, broadcast above") {
+  test("ivfAssign uses the broadcast kernel at every cell count; agrees with inline") {
     import spark.implicits._
     val corpus = synthVecs(50, 4)
     def centFrame(k: Int) = synthCents(k, 4).toSeq
       .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "__centroid")
     val small = Similarity.ivfAssign(corpus, centFrame(16), "vec_id", "embedding")
-    assert(!small.queryExecution.executedPlan.toString.contains("nearest_centroid"))
+    assert(small.queryExecution.executedPlan.toString.contains("nearest_centroid"))
     val large = Similarity.ivfAssign(corpus, centFrame(257), "vec_id", "embedding")
     assert(large.queryExecution.executedPlan.toString.contains("nearest_centroid"))
-    // and the two dispatch shapes agree where they overlap
+    // and the kernel agrees with the inline reference shape at the small dial
     val aSmall = assignments(small)
-    val aSmallB = assignments(Similarity.ivfAssignBroadcast(corpus,
+    val aSmallI = assignments(Similarity.ivfAssignInline(corpus,
       synthCents(16, 4), "embedding", LongType))
-    assert(aSmall === aSmallB)
+    assert(aSmall === aSmallI)
   }
 
   test("k-means packed centroid collect is bit-identical to the row-per-(cid,dim) shape at 4096 cells x dim 256") {
