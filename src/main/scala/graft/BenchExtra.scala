@@ -86,6 +86,15 @@ object BenchExtra {
               val (t0, d) = jobs.getOrDefault(j.jobId, (j.time, "?"))
               System.err.println(f"[job] ${j.jobId}%4d ${j.time - t0}%6d ms  $d")
             }
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val i = sc.stageInfo
+              val dur = for { a <- i.completionTime; b <- i.submissionTime } yield a - b
+              val m = i.taskMetrics
+              System.err.println(f"[stage] ${i.stageId}%4d ${dur.getOrElse(-1L)}%6d ms " +
+                f"run=${m.executorRunTime}%6d cpu=${m.executorCpuTime / 1000000}%6d " +
+                f"tasks=${i.numTasks}%3d ${i.name.take(60)}")
+            }
           })
         all.foreach { case (n, _) => run("/root/testdata/sf0.001", n) }
         names.foreach { name =>

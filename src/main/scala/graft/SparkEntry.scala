@@ -19,6 +19,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive parallelism guard for queries whose dominant cost is
+    * per-row kernels (md5, sha2, regex, json) BEFORE any exchange: a
+    * table smaller than one scan split otherwise runs them single-task
+    * (guide §2.5). No-op whenever the scan already carries fleet
+    * parallelism — i.e. at any real scale.
+    */
+  private def par(df: DataFrame, key: String): DataFrame =
+    graft.util.Parallelism.ensure(df, col(key))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the CDC final-state reducer over the events changelog.
     */
@@ -67,7 +76,7 @@ object SparkEntry {
   }
 
   private def jsonlParse(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    par(t(spark, dir, "events"), "event_id")
       .select(col("event_id"), col("props"))
       .withColumn("row_key", md5(col("props")))
       .withColumn("k_val",
@@ -210,7 +219,7 @@ object SparkEntry {
         TextAnalysis.bpeishTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"))
 
   private def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = par(t(spark, dir, "documents"), "doc_id")
     d.select(col("doc_id"),
       length(col("text")).cast("bigint").as("len_chars"),
       regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("bigint").as("n_punct"),
@@ -224,12 +233,12 @@ object SparkEntry {
     * bit-stable cross-engine.
     */
   private def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(col("doc_id"),
+    par(t(spark, dir, "documents"), "doc_id").select(col("doc_id"),
       (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("checks_passed"))
 
   /** Gopher-style within-doc repetition filter features. */
   private def repetitionQ(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents")
+    val base = par(t(spark, dir, "documents"), "doc_id")
     TextAnalysis.repetitionFeatures(col("text"))
       .foldLeft(base.select(col("doc_id"), col("text"))) {
         case (d, (n, c)) => d.withColumn(n, c)
@@ -237,7 +246,7 @@ object SparkEntry {
   }
 
   private def langId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    par(t(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
 
   private def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -251,7 +260,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b")) // jaccard double excluded: cross-engine float
 
   private def simhashFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDf(t(spark, dir, "documents"), "doc_id", "text")
+    Dedup.simhashDf(par(t(spark, dir, "documents"), "doc_id"), "doc_id", "text")
       .toDF("doc_id", "simhash")
 
   private def simhashNearDups(spark: SparkSession, dir: String): DataFrame =

@@ -201,8 +201,9 @@ object Dedup {
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val sh = graft.util.Materialize.barrier(
-      df.select(col(idCol).as("__id"),
-        wordShingles(col(textCol), n).as("__sh")))
+      graft.util.Parallelism.ensure(df, col(idCol))
+        .select(col(idCol).as("__id"),
+          wordShingles(col(textCol), n).as("__sh")))
     val cands = candidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -372,7 +373,8 @@ object Dedup {
     // arrays (cheap generate, no shingling recompute) and the barrier
     // stores n_docs rows instead of n_postings
     val sh = graft.util.Materialize.barrier(
-      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      graft.util.Parallelism.ensure(df, col(idCol))
+        .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
     val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     // doc-frequency cap via partial-aggregated groupBy + broadcast
