@@ -45,6 +45,18 @@ object Relational {
                rightCols: Seq[String],
                leftOuter: Boolean = false): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must be non-empty")
+    // reserved internal + output names: a caller column named like one
+    // would be silently shadowed or ambiguous (ADVICE r5)
+    val reserved = Set("__k", "__t", "__side", "__r", "__lv", "__m")
+    val outNames = rightCols.map(c => s"asof_$c").toSet
+    (left.columns ++ right.columns).foreach { c =>
+      require(!reserved.contains(c),
+        s"asofJoin: column name '$c' collides with a reserved internal name")
+    }
+    left.columns.foreach { c =>
+      require(!outNames.contains(c),
+        s"asofJoin: left column '$c' collides with output column '$c'")
+    }
     val leftCols = left.columns.toSeq
     val rStruct = struct(rightCols.map(right(_)): _*)
     val lSide = left.select(
@@ -89,11 +101,13 @@ object Relational {
     * longer concentrates a partition. One explode (≤ 2× left), one
     * shuffle, exact interval post-filter.
     *
-    * Bucketing converts time to microseconds via a cast to TIMESTAMP
-    * (session-timezone interpretation for NTZ inputs — any consistent
-    * monotone mapping works since both sides use the same cast); the
-    * final range filter compares the raw timestamps with interval
-    * arithmetic, so the result is exact regardless of zone.
+    * Time columns must be TIMESTAMP (instant-based): bucketing needs not
+    * just a consistent monotone mapping but one under which every window
+    * spans ≤ W — a TIMESTAMP_NTZ input bucketed through a session-zone
+    * cast violates that across a DST fall-back transition (a wall-clock
+    * window covers W+3600 s of instants, overflowing the ≤2-bucket left
+    * explode), so NTZ is rejected up front. The final range filter
+    * compares the raw timestamps with interval arithmetic.
     *
     * Output: every left column, then `rightCols` renamed `r_<col>`.
     */
@@ -104,6 +118,30 @@ object Relational {
                 rightCols: Seq[String]): DataFrame = {
     require(upperSeconds > lowerSeconds, "window must have positive width")
     require(rightCols.nonEmpty, "rightCols must be non-empty")
+    // Bucketing and the exact interval filter must live in the same time
+    // domain. For TIMESTAMP both are instant-based and every window spans
+    // exactly W in bucket space. A TIMESTAMP_NTZ input would be bucketed
+    // through a session-timezone cast: across a DST fall-back transition
+    // a wall-clock window covers W+3600 s of instants, exceeding the
+    // ≤2-bucket left explode and silently dropping valid pairs — so NTZ
+    // (and other castable types) are rejected up front (ADVICE r5).
+    import org.apache.spark.sql.types.TimestampType
+    require(left.schema(leftTime).dataType == TimestampType,
+      s"rangeJoin: $leftTime must be TIMESTAMP, got " +
+        s"${left.schema(leftTime).dataType.simpleString}")
+    require(right.schema(rightTime).dataType == TimestampType,
+      s"rangeJoin: $rightTime must be TIMESTAMP, got " +
+        s"${right.schema(rightTime).dataType.simpleString}")
+    val reserved = Set("__bucket", "__rk", "__rt", "__rbucket")
+    val outNames = rightCols.map(c => s"r_$c").toSet
+    (left.columns ++ right.columns).foreach { c =>
+      require(!reserved.contains(c),
+        s"rangeJoin: column name '$c' collides with a reserved internal name")
+    }
+    left.columns.foreach { c =>
+      require(!outNames.contains(c),
+        s"rangeJoin: left column '$c' collides with output column '$c'")
+    }
     val widthUs = (upperSeconds - lowerSeconds) * 1000000L
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     // exact long floor-division (a may be negative; pmod is non-negative,

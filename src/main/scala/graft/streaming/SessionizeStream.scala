@@ -43,9 +43,17 @@ final case class SessionRow(
   *    `EventTimeTimeout` when the watermark (driven by OTHER keys'
   *    progress) passes their flush point — without the timeout a quiet
   *    key's last session would sit in state forever;
-  *  - state per key is O(events inside the watermark horizon), the same
-  *    bound a shuffle-based session-window aggregation needs; the
-  *    emitted counter is one Long.
+  *  - PENDING-event state per key is O(events inside the watermark
+  *    horizon), the same bound a shuffle-based session-window
+  *    aggregation needs. Additionally, once all of a key's sessions
+  *    close, ONE residual entry (empty buffer + the emitted counter, a
+  *    single Long) is retained per ever-seen key so `session_seq` stays
+  *    cumulative across quiet periods — total state is therefore
+  *    O(live keys) + O(distinct keys ever seen) × ~16 bytes. For
+  *    key spaces where that tail matters, an idle-key TTL (accepting a
+  *    seq reset on the key's return) is the documented trade — not
+  *    enabled here because seq continuity is part of the operator's
+  *    contract (ADVICE r5).
   *
   * At 10^10-event scale this runs on the RocksDB state store exactly
   * like LsnDedup (off-heap, disk-backed), and OutputMode.Append means a
@@ -115,6 +123,17 @@ object SessionizeStream {
     */
   def sessions(events: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, watermarkDelay: String): Dataset[SessionRow] = {
+    // the state key and SessionRow.user_id are primitive longs: a
+    // string/decimal key would corrupt (or throw) through the cast and a
+    // NULL key dies in the encoder — fail fast with a clear error
+    // instead (ADVICE r5); the batch Relational.sessionize stays the
+    // key-type-generic surface
+    import org.apache.spark.sql.types._
+    val kt = events.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"SessionizeStream.sessions: key column '$keyCol' must be integral " +
+        s"non-null (state key and SessionRow.user_id are primitive LONG), " +
+        s"got ${kt.simpleString}; use Relational.sessionize for generic keys")
     val gapUs = gapSeconds * 1000000L
     events
       .select(col(keyCol).cast("long").as("k"),

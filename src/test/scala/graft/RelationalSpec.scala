@@ -165,4 +165,33 @@ class RelationalSpec extends SparkSpec {
     }.toSet
     assert(got === want)
   }
+
+  test("input-contract guards: rangeJoin rejects non-TIMESTAMP time columns and reserved/colliding names fail fast") {
+    val l = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
+    val r = Seq((9L, "k", ts("2024-01-01 11:00:00"))).toDF("rid", "k", "t")
+    // NTZ (and any non-instant type) is rejected: session-zone bucketing
+    // across a DST fall-back would overflow the <=2-bucket explode
+    val lNtz = l.withColumn("t", col("t").cast("timestamp_ntz"))
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.rangeJoin(lNtz, r, "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+    }
+    assert(e1.getMessage.contains("must be TIMESTAMP"))
+    // reserved internal names collide loudly, not silently
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.rangeJoin(l.withColumnRenamed("lid", "__bucket"), r,
+        "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[IllegalArgumentException] {
+      Relational.asofJoin(l.withColumnRenamed("lid", "__m"), r,
+        "k", "k", "t", "t", Seq("rid"))
+    }
+    assert(e3.getMessage.contains("reserved"))
+    // a left column equal to an output name (asof_rid / r_rid) also fails
+    val e4 = intercept[IllegalArgumentException] {
+      Relational.asofJoin(l.withColumnRenamed("lid", "asof_rid"), r,
+        "k", "k", "t", "t", Seq("rid"))
+    }
+    assert(e4.getMessage.contains("output column"))
+  }
 }
