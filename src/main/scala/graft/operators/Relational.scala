@@ -101,13 +101,18 @@ object Relational {
     * longer concentrates a partition. One explode (≤ 2× left), one
     * shuffle, exact interval post-filter.
     *
-    * Time columns must be TIMESTAMP (instant-based): bucketing needs not
-    * just a consistent monotone mapping but one under which every window
-    * spans ≤ W — a TIMESTAMP_NTZ input bucketed through a session-zone
-    * cast violates that across a DST fall-back transition (a wall-clock
-    * window covers W+3600 s of instants, overflowing the ≤2-bucket left
-    * explode), so NTZ is rejected up front. The final range filter
-    * compares the raw timestamps with interval arithmetic.
+    * Time columns must be TIMESTAMP, or TIMESTAMP_NTZ under a
+    * fixed-offset session timezone: bucketing needs not just a consistent
+    * monotone mapping but one under which every window spans ≤ W. For
+    * TIMESTAMP the mapping is the identity; for NTZ the bucketing cast
+    * runs in the SESSION zone, which under a fixed offset (UTC, GMT+k) is
+    * a pure translation — monotone and width-preserving, so the
+    * ≤2-bucket explode stays exact and agrees with the NTZ-domain
+    * interval filter. Under a zone with DST rules the mapping is not
+    * affine (a wall-clock window crossing a fall-back transition covers
+    * W+3600 s of instants, overflowing the explode and silently dropping
+    * pairs), so NTZ + DST-rules zone is rejected up front. The final
+    * range filter compares the raw timestamps with interval arithmetic.
     *
     * Output: every left column, then `rightCols` renamed `r_<col>`.
     */
@@ -119,19 +124,29 @@ object Relational {
     require(upperSeconds > lowerSeconds, "window must have positive width")
     require(rightCols.nonEmpty, "rightCols must be non-empty")
     // Bucketing and the exact interval filter must live in the same time
-    // domain. For TIMESTAMP both are instant-based and every window spans
-    // exactly W in bucket space. A TIMESTAMP_NTZ input would be bucketed
-    // through a session-timezone cast: across a DST fall-back transition
-    // a wall-clock window covers W+3600 s of instants, exceeding the
-    // ≤2-bucket left explode and silently dropping valid pairs — so NTZ
-    // (and other castable types) are rejected up front (ADVICE r5).
-    import org.apache.spark.sql.types.TimestampType
-    require(left.schema(leftTime).dataType == TimestampType,
-      s"rangeJoin: $leftTime must be TIMESTAMP, got " +
-        s"${left.schema(leftTime).dataType.simpleString}")
-    require(right.schema(rightTime).dataType == TimestampType,
-      s"rangeJoin: $rightTime must be TIMESTAMP, got " +
-        s"${right.schema(rightTime).dataType.simpleString}")
+    // domain (ADVICE r5). TIMESTAMP is instant-based on both sides.
+    // TIMESTAMP_NTZ buckets through a session-zone cast: sound iff the
+    // zone is a fixed offset (the cast is then a translation — monotone,
+    // window widths preserved); under DST rules a fall-back-crossing
+    // window covers W+3600 s of instants, exceeding the ≤2-bucket left
+    // explode and silently dropping valid pairs — rejected loudly.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    lazy val sessionZoneFixed = java.time.ZoneId
+      .of(left.sparkSession.conf.get("spark.sql.session.timeZone"))
+      .getRules.isFixedOffset
+    def checkTime(df: DataFrame, c: String): Unit =
+      df.schema(c).dataType match {
+        case TimestampType => ()
+        case TimestampNTZType if sessionZoneFixed => ()
+        case TimestampNTZType => throw new IllegalArgumentException(
+          s"rangeJoin: $c must be TIMESTAMP (instant) when the session " +
+            "timezone has DST rules — timestamp_ntz bucketing is only " +
+            "width-exact under a fixed-offset zone")
+        case other => throw new IllegalArgumentException(
+          s"rangeJoin: $c must be TIMESTAMP, got ${other.simpleString}")
+      }
+    checkTime(left, leftTime)
+    checkTime(right, rightTime)
     val reserved = Set("__bucket", "__rk", "__rt", "__rbucket")
     val outNames = rightCols.map(c => s"r_$c").toSet
     (left.columns ++ right.columns).foreach { c =>

@@ -169,13 +169,35 @@ class RelationalSpec extends SparkSpec {
   test("input-contract guards: rangeJoin rejects non-TIMESTAMP time columns and reserved/colliding names fail fast") {
     val l = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
     val r = Seq((9L, "k", ts("2024-01-01 11:00:00"))).toDF("rid", "k", "t")
-    // NTZ (and any non-instant type) is rejected: session-zone bucketing
-    // across a DST fall-back would overflow the <=2-bucket explode
+    // NTZ under a DST-rules session zone is rejected: the session-zone
+    // bucketing cast is not width-preserving across a fall-back
+    // transition and would overflow the <=2-bucket explode. Under a
+    // fixed-offset zone (UTC here) the cast is a pure translation, so
+    // NTZ is accepted and must produce exactly the TIMESTAMP result.
     val lNtz = l.withColumn("t", col("t").cast("timestamp_ntz"))
-    val e1 = intercept[IllegalArgumentException] {
-      Relational.rangeJoin(lNtz, r, "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+    val rNtz = r.withColumn("t", col("t").cast("timestamp_ntz"))
+    val tzKey = "spark.sql.session.timeZone"
+    val savedTz = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val e1 = intercept[IllegalArgumentException] {
+        Relational.rangeJoin(lNtz, r, "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+      }
+      assert(e1.getMessage.contains("must be TIMESTAMP"))
+    } finally spark.conf.set(tzKey, savedTz)
+    val wantPairs = Relational
+      .rangeJoin(l, r, "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+      .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ntzPairs = Relational
+      .rangeJoin(lNtz, rNtz, "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
+      .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(ntzPairs === wantPairs && wantPairs === Set((1L, 9L)))
+    // a non-time type is always rejected
+    val e1b = intercept[IllegalArgumentException] {
+      Relational.rangeJoin(l.withColumn("t", col("lid")), r,
+        "k", "k", "t", "t", -3600L, 0L, Seq("rid"))
     }
-    assert(e1.getMessage.contains("must be TIMESTAMP"))
+    assert(e1b.getMessage.contains("must be TIMESTAMP"))
     // reserved internal names collide loudly, not silently
     val e2 = intercept[IllegalArgumentException] {
       Relational.rangeJoin(l.withColumnRenamed("lid", "__bucket"), r,
