@@ -394,7 +394,22 @@ object Dedup {
     // PostingPairs codegen kernel, instead of shuffling the postings
     // TWICE through a self-join (guide §2.3/§2.4). The emitted pair
     // multiset is identical to the join's `a.g = b.g AND a.id < b.id`.
+    //
+    // The grouping exchange carries an EXPLICIT partition count
+    // (repartition-by-num; the groupBy below reuses the partitioning, so
+    // it is still ONE exchange): AQE sizes a coalesced stage by its
+    // shuffle-read bytes, but this stage's real cost is the pair kernel's
+    // quadratic fan-out AFTER the read (measured ~20× at the bench dial),
+    // so byte-based coalescing under-provisions it at every scale — at
+    // sf0.1 it ran 3 tasks with 29 cores idle. The count follows the
+    // upstream input's partitioning (max of fleet width and scan
+    // parallelism), so it grows with data size rather than pinning a
+    // local constant.
+    val pairParts = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      sh.rdd.getNumPartitions)
     val pairs = filtered
+      .repartition(pairParts, col("g"))
       .groupBy("g")
       .agg(collect_list(struct(col("id"), col("sz"))).as("ps"))
       .select(explode(graft.functions.PostingPairs.postingPairs(col("ps")))
