@@ -553,12 +553,38 @@ class LakeTable(
     //    independent of how the log was batched. (LSNs are normally
     //    unique per logical event; equal-lsn rows are redeliveries.)
     //    Skipped when the streaming dedup already emitted winners-only.
+    //
+    //    ONE exchange serves both the winner window and the bucketed
+    //    write (guide §2.4): `__bucket` and `__salt` are pure functions
+    //    of the key columns, so hash-partitioning on (__bucket, __salt)
+    //    already clusters every key's rows into one task, and the window
+    //    partitions by (__bucket, __salt, keys) — a superset of the
+    //    exchange's keys, which Catalyst recognises as satisfied (the
+    //    subset rule), planning only the per-partition sort. The
+    //    previous shape shuffled the batch TWICE per merge: once for the
+    //    key window, then again to repartition the winners for the
+    //    write. The winner set is identical — partitioning a window by
+    //    extra functions of its own keys refines nothing.
+    //    Write parallelism policy (salt/fleet bound) is unchanged; see
+    //    the step-4 comment.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val saltFactor = math.max(1, math.ceil(
+      spark.sparkContext.defaultParallelism.toDouble / numBuckets).toInt)
+    val saltCol =
+      if (saltFactor == 1) lit(0)
+      else pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
+    val writeParts = math.max(1, math.min(numBuckets * saltFactor,
+      spark.sparkContext.defaultParallelism * 2))
+    val bucketed = batch
+      .withColumn("__bucket", bucketExpr)
+      .withColumn("__salt", saltCol)
+      .repartition(writeParts, col("__bucket"), col("__salt"))
+    val w = Window
+      .partitionBy((col("__bucket") +: col("__salt") +: keyCols.map(col)): _*)
       .orderBy(col(lsnCol).desc, (col(opCol) === "delete").desc, col(opCol).desc)
     val winners =
-      if (preReduced) batch
-      else batch
+      if (preReduced) bucketed
+      else bucketed
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
 
@@ -573,7 +599,6 @@ class LakeTable(
     val withMeta = winners
       .withColumn(LsnMeta, col(lsnCol))
       .withColumn(DeletedMeta, col(opCol) === "delete")
-      .withColumn("__bucket", bucketExpr)
     val outCols: Seq[Column] =
       userCols.collect {
         case c if withMeta.columns.contains(c) => col(c)
@@ -618,24 +643,21 @@ class LakeTable(
     //    hot-bucket salting (which needed a per-batch stats job to find
     //    skew) guarded raw event skew that the dedup/winner stages have
     //    already flattened by this point.
-    val saltFactor = math.max(1, math.ceil(
-      spark.sparkContext.defaultParallelism.toDouble / numBuckets).toInt)
-    val saltCol =
-      if (saltFactor == 1) lit(0)
-      else pmod(xxhash64(keyCols.map(col): _*), lit(saltFactor))
+    //    Write parallelism ∝ the fleet, not the bucket count:
+    //    `partitionBy` routes rows into per-bucket directories regardless
+    //    of task count (a task holding k buckets writes k files — file
+    //    layout is identical), so launching one task per bucket only
+    //    multiplies task/commit/writer fixed costs when buckets ≫ cores.
+    //    2× cores keeps every core busy under mild bucket-hash skew; the
+    //    salt (cores ≫ buckets case) still raises the ceiling so no
+    //    single task serializes a hot bucket.
+    //    The (__bucket, __salt) repartition happened BEFORE the winner
+    //    window (step 1) — the same exchange serves both, and the
+    //    projection preserves its partitioning, so the write job starts
+    //    directly from the windowed partitions.
     val newVersion = cur.version + 1
     val deltaRel = s"data/v$newVersion/delta"
-    // write parallelism ∝ the fleet, not the bucket count: `partitionBy`
-    // routes rows into per-bucket directories regardless of task count
-    // (a task holding k buckets writes k files — file layout is identical),
-    // so launching one task per bucket only multiplies task/commit/writer
-    // fixed costs when buckets ≫ cores. 2× cores keeps every core busy
-    // under mild bucket-hash skew; the salt (cores ≫ buckets case) still
-    // raises the ceiling so no single task serializes a hot bucket.
-    val writeParts = math.max(1, math.min(numBuckets * saltFactor,
-      spark.sparkContext.defaultParallelism * 2))
     projected
-      .repartition(writeParts, col("__bucket"), saltCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket")
       .parquet(s"$tablePath/$deltaRel")

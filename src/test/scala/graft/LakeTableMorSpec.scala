@@ -498,4 +498,39 @@ class LakeTableMorSpec extends SparkSpec {
     lake.compact()
     assert(lake.schema("seen").dataType === DateType)
   }
+
+  test("merge winner reduction is key-exact under the fused (bucket, salt, key) window") {
+    // merge's one-exchange shape partitions by (__bucket, __salt) and
+    // windows by (__bucket, __salt, keys); both extras are pure functions
+    // of the keys, so the winner per key must be EXACTLY what a plain
+    // key window picks — pinned here over a batch with multi-row keys,
+    // equal-lsn delete/upsert ties, and enough keys to populate every
+    // bucket and salt group (local[4] fleet over 2 buckets ⇒ salt > 1).
+    import spark.implicits._
+    val dir = tmpDir("mor-fusedwin")
+    val lake = LakeTable(spark, dir, Seq("repo", "path"), 2, maxFilesPerBucket = 32)
+    lake.createIfAbsent(StructType.fromDDL(baseDdl))
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 400).map { _ =>
+      val k = rnd.nextInt(60)
+      val lsn = rnd.nextInt(40).toLong
+      val op = Seq("insert", "update", "delete")(rnd.nextInt(3))
+      // content derived from (key, lsn, op): physical duplicates of the
+      // winner triple carry identical payloads, so the row_number pick
+      // among them cannot affect the comparison
+      ChangeEvent(lsn, op, new java.sql.Timestamp(0), s"r${k % 5}", s"p$k",
+        f"c$lsn%040d", "scala", s"c-$k-$lsn-$op", Map.empty)
+    }
+    lake.merge(evs.toDS().toDF(), "t", 0L)
+    // reference winner per key: max by (lsn, delete-wins, op) — the same
+    // total order the merge window sorts descending
+    val expect = evs.groupBy(e => (e.repo, e.path)).flatMap { case (_, rows) =>
+      val w = rows.maxBy(e => (e.lsn, if (e.op == "delete") 1 else 0, e.op))
+      if (w.op == "delete") None
+      else Some((w.repo, w.path, w.content))
+    }.toSet
+    val got = lake.read().select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === expect)
+  }
 }
