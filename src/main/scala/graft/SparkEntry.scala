@@ -131,7 +131,12 @@ object SparkEntry {
   private def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    t(spark, dir, "lineitem")
+    // guard BEFORE the window: the map-side WindowGroupLimit (top-3 per
+    // group per partition) is the query's dominant per-row work and runs
+    // on however many partitions the scan produced (guide §2.5)
+    par(t(spark, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"),
+      "l_orderkey")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_extendedprice"))
