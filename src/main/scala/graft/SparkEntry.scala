@@ -52,8 +52,16 @@ object SparkEntry {
 
   private def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events").select("user_id", "event_id", "event_type")
-    // simulate at-least-once redelivery, then commit-sequence dedup
+    // simulate at-least-once redelivery, then commit-sequence dedup.
+    // ONE exchange serves both aggregates (guide §2.4): hash-partitioning
+    // on user_id satisfies the dedup's (user_id, event_id) clustering by
+    // the subset rule AND the per-user rollup, where the natural shape
+    // (distinct → groupBy) exchanges twice — on (user_id, event_id) and
+    // then again on user_id. Keyed repartition without an explicit count
+    // stays AQE-coalescible (no post-shuffle fan-out here), so partition
+    // sizing remains byte-driven at any scale.
     ev.unionAll(ev)
+      .repartition(col("user_id"))
       .dropDuplicates("user_id", "event_id")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_lsn"))
@@ -301,7 +309,13 @@ object SparkEntry {
     val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
         k = 10, nPlanes = 8, probeRadius = 1)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+    // the ANN arm is ≤ k × |queries| rows — broadcast it (guide §3.1):
+    // size estimates do not survive the window arms, so the planner
+    // otherwise falls back to a SortMergeJoin of two ~50-row sides
+    // (2 exchanges + 2 sorts), and the rollup below re-exchanges; with
+    // the broadcast, the join and the groupBy both ride the brute arm's
+    // existing query_id partitioning
+    brute.join(broadcast(lsh), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_exact"))
   }
@@ -324,7 +338,8 @@ object SparkEntry {
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+    // broadcast the ≤ k × |queries|-row ANN arm — see knnLshRecall
+    brute.join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_exact"))
   }
@@ -355,7 +370,8 @@ object SparkEntry {
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 2, kmeansIters = 2)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+    // broadcast the ≤ k × |queries|-row ANN arm — see knnLshRecall
+    brute.join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_exact"))
   }
