@@ -185,8 +185,18 @@ object Curation {
     */
   def contamination(corpus: DataFrame, probe: DataFrame,
       idCol: String, textCol: String, n: Int = 4): DataFrame = {
-    val cg = corpus.select(col(idCol).as("doc_id"),
-      explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+    // parallelism guard BEFORE the explode (guide §2.5): the corpus
+    // shingling kernel is the dominant per-row cost and otherwise runs
+    // on however many partitions the scan produced (one, for a table
+    // under one split) — measured 0.47 → 0.38 s at sf0.1 (min of 7).
+    // The two stacked count_distinct exchanges below CANNOT be fused by
+    // a keyed repartition: the multi-distinct plan inserts an Expand,
+    // which reports UnknownPartitioning, so any pre-aggregation
+    // partitioning is discarded — verified in the plan (a doc_id
+    // repartition still left both aggregate exchanges in place).
+    val cg = graft.util.Parallelism.ensure(corpus, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("g"))
     val pg = probe.select(col(idCol).as("probe_id"),
       explode(Dedup.wordShingles(col(textCol), n)).as("g")).distinct()
     cg.join(broadcast(pg), "g")
