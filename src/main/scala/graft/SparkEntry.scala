@@ -225,7 +225,7 @@ object SparkEntry {
       .select("doc_id", "lang", "source", "n_chars")
 
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    par(t(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"),
         TextAnalysis.alnumTokenCount(col("text")).cast("bigint").as("n_alnum_tokens"),
         TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"),

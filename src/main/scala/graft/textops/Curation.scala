@@ -220,8 +220,11 @@ object Curation {
   def rarestTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.wordShingles(col(textCol), 1)).as("term"))
+    // parallelism guard before the explode (guide §2.5): the tokenizer
+    // kernel otherwise runs on the raw scan's partitioning
+    val postings = graft.util.Parallelism.ensure(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), 1)).as("term"))
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("term").asc)

@@ -337,7 +337,8 @@ object Dedup {
     // materialized ONCE: both self-join sides read the pinned 8-byte
     // fingerprints instead of re-running the md5 kernel over the corpus
     val f = graft.util.Materialize.barrier(
-      simhashDf(df, idCol, textCol).toDF("id", "sh"))
+      simhashDf(graft.util.Parallelism.ensure(df, col(idCol)),
+        idCol, textCol).toDF("id", "sh"))
     val tables = f.select(col("id"), col("sh"),
         posexplode(array(tableKeys: _*)))
       .toDF("id", "sh", "t", "key")
